@@ -1,0 +1,160 @@
+"""Point-wise MLP with BatchNorm — the reference's core building block.
+
+The reference builds every encoder/propagation MLP from 1x1 ``nn.Conv1d`` +
+``BatchNorm1d`` + ReLU stacks (``models/mdgat.py:34-46``). A 1x1 conv over a
+``[B, C, N]`` tensor is exactly a per-point dense layer, so the TPU-native
+formulation is a plain matmul over the ``[B, N, C]`` layout — this maps the
+whole MLP onto the MXU with XLA fusing bias/BN/ReLU into the matmul epilogue.
+
+BatchNorm semantics match ``torch.nn.BatchNorm1d``: normalization over the
+(batch, points) axes per channel with biased variance, eps=1e-5; running
+stats updated with momentum 0.1 and *unbiased* batch variance. Both train
+mode (batch stats, used by the reference during training, ``train.py:222``)
+and eval mode (running stats, ``net.eval()``) are supported.
+
+Parameters are explicit pytrees:
+  layer:  {"w": [Cin, Cout], "b": [Cout]}           (dense == conv1x1)
+  bn:     {"scale": [C], "bias": [C]}               (learnable)
+  bn state: {"mean": [C], "var": [C]}               (running stats)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# init — matches torch defaults so converted / fresh checkpoints behave alike
+# ---------------------------------------------------------------------------
+
+def conv1x1_init(key, c_in: int, c_out: int, dtype=jnp.float32, zero_bias=False):
+    """Kaiming-uniform init identical to ``torch.nn.Conv1d`` defaults.
+
+    torch uses kaiming_uniform(a=sqrt(5)) on the weight => bound
+    sqrt(6 / ((1 + a^2) * fan_in)) = 1/sqrt(fan_in), and
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) on the bias.
+    """
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(c_in)
+    w = jax.random.uniform(kw, (c_in, c_out), dtype, -bound, bound)
+    if zero_bias:
+        b = jnp.zeros((c_out,), dtype)
+    else:
+        b = jax.random.uniform(kb, (c_out,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+def conv1x1_apply(p, x):
+    """Per-point dense layer: x [..., N, Cin] -> [..., N, Cout]."""
+    return jnp.matmul(x, p["w"].astype(x.dtype)) + p["b"].astype(x.dtype)
+
+
+def _bn_init(c: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+
+
+def _bn_state_init(c: int, dtype=jnp.float32):
+    return {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+
+
+def mlp_init(key, channels: Sequence[int], do_bn: bool = True,
+             dtype=jnp.float32, zero_last_bias: bool = False):
+    """Params for MLP(channels) mirroring ``models/mdgat.py:34-46``.
+
+    Layer i maps channels[i-1] -> channels[i]; BN+ReLU on all but the last
+    layer. ``zero_last_bias`` reproduces the reference's
+    ``nn.init.constant_(encoder[-1].bias, 0.0)`` on selected encoders.
+    """
+    n = len(channels)
+    keys = jax.random.split(key, n - 1)
+    layers = []
+    for i in range(1, n):
+        zero_b = zero_last_bias and i == n - 1
+        layer = {"lin": conv1x1_init(keys[i - 1], channels[i - 1], channels[i],
+                                     dtype, zero_bias=zero_b)}
+        if do_bn and i < n - 1:
+            layer["bn"] = _bn_init(channels[i], dtype)
+        layers.append(layer)
+    return layers
+
+
+def mlp_state_init(channels: Sequence[int], do_bn: bool = True,
+                   dtype=jnp.float32):
+    """Running-stat state aligned with :func:`mlp_init` (None where no BN)."""
+    n = len(channels)
+    return [(_bn_state_init(channels[i], dtype) if (do_bn and i < n - 1) else None)
+            for i in range(1, n)]
+
+
+def _batchnorm(bn, st, x, train: bool, axes):
+    """BatchNorm over ``axes`` (all but channel). Returns (y, new_state)."""
+    scale = bn["scale"].astype(x.dtype)
+    bias = bn["bias"].astype(x.dtype)
+    if train:
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)  # biased, as torch uses for normalization
+        n = x.size // mean.size
+        unbiased = var * (n / max(n - 1, 1))
+        # torch: running_mean <- batch mean, running_var <- unbiased batch var
+        new_st = {
+            "mean": (1 - BN_MOMENTUM) * st["mean"] + BN_MOMENTUM * mean.astype(st["mean"].dtype),
+            "var": (1 - BN_MOMENTUM) * st["var"] + BN_MOMENTUM * unbiased.astype(st["var"].dtype),
+        }
+    else:
+        mean = st["mean"].astype(x.dtype)
+        var = st["var"].astype(x.dtype)
+        new_st = st
+    inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, x.dtype))
+    return (x - mean) * inv * scale + bias, new_st
+
+
+def mlp_apply(params, state, x, train: bool = False,
+              valid_mask: Optional[jnp.ndarray] = None):
+    """Apply the MLP to x [..., N, C].
+
+    ``valid_mask`` [..., N] (optional) excludes padded points from batch-stat
+    computation so fixed-shape padding does not perturb BN statistics; padded
+    rows still produce (garbage) outputs which callers mask downstream.
+
+    Returns (y, new_state) where new_state mirrors ``state``.
+    """
+    new_state = []
+    h = x
+    n_layers = len(params)
+    for i, layer in enumerate(params):
+        h = conv1x1_apply(layer["lin"], h)
+        st = state[i] if state is not None else None
+        if "bn" in layer:
+            if valid_mask is not None and train:
+                # masked batch stats: reduce over all non-channel axes
+                m = valid_mask[..., None].astype(h.dtype)
+                cnt = jnp.maximum(jnp.sum(m), 1.0)
+                axes = tuple(range(h.ndim - 1))
+                mean = jnp.sum(h * m, axis=axes) / cnt
+                var = jnp.sum((h - mean) ** 2 * m, axis=axes) / cnt
+                inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, h.dtype))
+                scale = layer["bn"]["scale"].astype(h.dtype)
+                bias = layer["bn"]["bias"].astype(h.dtype)
+                h = (h - mean) * inv * scale + bias
+                nf = cnt
+                unbiased = var * (nf / jnp.maximum(nf - 1.0, 1.0))
+                new_st = {
+                    "mean": (1 - BN_MOMENTUM) * st["mean"] + BN_MOMENTUM * mean.astype(st["mean"].dtype),
+                    "var": (1 - BN_MOMENTUM) * st["var"] + BN_MOMENTUM * unbiased.astype(st["var"].dtype),
+                }
+            else:
+                axes = tuple(range(h.ndim - 1))
+                h, new_st = _batchnorm(layer["bn"], st, h, train, axes)
+            new_state.append(new_st)
+        else:
+            new_state.append(st)
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+    return h, new_state

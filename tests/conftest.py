@@ -1,0 +1,31 @@
+"""Test config: run on a virtual 8-device CPU mesh with float64 enabled.
+
+float64 matches the reference's ``net.double()`` numerics (``train.py:222``)
+for golden-value comparisons; the 8 virtual devices exercise the sharding
+path without TPU hardware (SURVEY.md §4.4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the box presets axon
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin force-sets jax_platforms="axon,cpu" from
+# sitecustomize; tests must run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+try:
+    from jax.extend.backend import clear_backends
+    clear_backends()
+except Exception:
+    pass
+
+jax.config.update("jax_enable_x64", True)
+# single-core box: persistent compile cache makes repeat test runs cheap
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
