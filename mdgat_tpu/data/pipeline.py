@@ -1,0 +1,221 @@
+"""KITTI pair pipeline: host loading + jitted device preprocessing.
+
+Mirrors the reference ``SparseDataset`` (``load_data.py:47-321``) split into
+the TPU-natural two stages:
+
+* **host** (:class:`SparseDataset`): file IO, score filtering, fixed-size
+  shaping, homogeneous world transforms and T_gt (float64 — pose chains
+  need the precision), batch stacking.
+* **device** (:func:`prepare_batch_fn`): a single jitted function doing
+  descriptor L2-normalization and pose-based GT-correspondence generation
+  (the O(N^2) ``cdist`` + argmin of ``load_data.py:257-285``) as one fused
+  batched kernel.
+
+Fixed-size policy:
+* ``ensure_kpts_num=True`` (train default): the reference's exact
+  truncate-or-duplicate-pad (``load_data.py:191-211``) — every slot holds a
+  real (possibly duplicated) keypoint, mask all-true.
+* ``ensure_kpts_num=False`` (eval default): the reference keeps ragged
+  counts (``load_data.py:212-214``); TPU needs static shapes, so pairs are
+  zero-padded to a 128-multiple bucket with validity masks threaded through
+  the model (attention, OT marginals, losses, metrics).
+
+Batch-dict keys follow the reference API (``load_data.py:299-321``):
+``keypoints0/1, descriptors0/1, scores0/1, gt_matches0/1, T_gt, rep`` plus
+``mask0/1`` (new) and host-side ``sequence``/``idx0``.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdgat_tpu.core.config import Config
+from mdgat_tpu.data import kitti
+from mdgat_tpu.ops.geometry import gt_correspondences
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def duplicate_pad(kp, score, desc, target: int):
+    """Reference pad: repeatedly prepend the first (target-len) rows
+    (``load_data.py:197-211``)."""
+    while target > len(kp):
+        take = target - len(kp)
+        kp = np.vstack([kp[:take], kp])
+        score = np.hstack([score[:take], score])
+        desc = np.vstack([desc[:take], desc])
+    return kp, score, desc
+
+
+class SparseDataset:
+    """Host-side pair source over KITTI assets (real or synthetic layout)."""
+
+    def __init__(self, cfg: Config, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        self.pairs, self.seq_list = kitti.make_dataset_kitti_distance(
+            cfg.txt_path, mode)
+        self.calib: Dict[str, np.ndarray] = {}
+        self.poses: Dict[str, np.ndarray] = {}
+        self.kp_cache: Dict[str, List[Optional[np.ndarray]]] = {}
+        for seq in self.seq_list:
+            s = "%02d" % seq
+            self.calib[s] = kitti.load_calib(os.path.join(
+                cfg.train_path, "calib/sequences", s, "calib.txt"))
+            self.poses[s] = kitti.load_poses(os.path.join(
+                cfg.train_path, "poses", "%02d.txt" % seq))
+            if cfg.memory_is_enough:
+                folder = os.path.join(cfg.keypoints_path, s)
+                names = sorted(os.listdir(folder), key=lambda x: int(x[:-4]))
+                self.kp_cache[s] = [
+                    np.fromfile(os.path.join(folder, n), dtype=np.float32)
+                    for n in names]
+
+    def __len__(self):
+        return len(self.pairs)
+
+    # ------------------------------------------------------------------
+    def _load_frame(self, s: str, idx: int):
+        if self.cfg.memory_is_enough and s in self.kp_cache:
+            raw = self.kp_cache[s][idx]
+        else:
+            raw = np.fromfile(os.path.join(
+                self.cfg.keypoints_path, s, "%06d.bin" % idx),
+                dtype=np.float32)
+        return kitti.split_keypoint_rows(raw)
+
+    def _shape_keypoints(self, kp, score, desc, pad_to: Optional[int] = None):
+        """Apply the fixed-size policy; returns (kp, score, desc, n_valid)."""
+        cfg = self.cfg
+        if cfg.ensure_kpts_num:
+            valid = score > cfg.score_min          # load_data.py:183
+            kp, score, desc = kp[valid], score[valid], desc[valid]
+            n = cfg.max_keypoints
+            if n < len(kp):
+                kp, score, desc = kp[:n], score[:n], desc[:n]
+            else:
+                kp, score, desc = duplicate_pad(kp, score, desc, n)
+            return kp, score, desc, n
+        n = len(kp)
+        tgt = pad_to if pad_to is not None else _round_up(max(n, 1), 128)
+        out_kp = np.zeros((tgt, 3), kp.dtype)
+        out_sc = np.zeros((tgt,), score.dtype)
+        out_de = np.zeros((tgt, desc.shape[1]), desc.dtype)
+        out_kp[:n], out_sc[:n], out_de[:n] = kp, score, desc
+        return out_kp, out_sc, out_de, n
+
+    # ------------------------------------------------------------------
+    def get_pair(self, idx: int, pad_to: Optional[int] = None) -> Dict:
+        rec = self.pairs[idx]
+        s = "%02d" % rec["seq"]
+        i0, i1 = rec["anc_idx"], rec["pos_idx"]
+        kp0, sc0, de0 = self._load_frame(s, i0)
+        kp1, sc1, de1 = self._load_frame(s, i1)
+        kp0, sc0, de0, n0 = self._shape_keypoints(kp0, sc0, de0, pad_to)
+        kp1, sc1, de1, n1 = self._shape_keypoints(kp1, sc1, de1, pad_to)
+
+        pose0 = self.poses[s][i0].astype(np.float64)
+        pose1 = self.poses[s][i1].astype(np.float64)
+        Tcv = self.calib[s].astype(np.float64)
+        # T_gt maps kp1 -> kp0 frame (load_data.py:238)
+        T_gt = np.linalg.inv(Tcv) @ np.linalg.inv(pose0) @ pose1 @ Tcv
+        # world-frame keypoints (load_data.py:241-245)
+        M0 = pose0 @ Tcv
+        M1 = pose1 @ Tcv
+        kp0w = kp0.astype(np.float64) @ M0[:3, :3].T + M0[:3, 3]
+        kp1w = kp1.astype(np.float64) @ M1[:3, :3].T + M1[:3, 3]
+
+        mask0 = np.zeros(len(kp0), bool); mask0[:n0] = True
+        mask1 = np.zeros(len(kp1), bool); mask1[:n1] = True
+        return {
+            "keypoints0": kp0.astype(np.float64),
+            "keypoints1": kp1.astype(np.float64),
+            "scores0": sc0.astype(np.float64),
+            "scores1": sc1.astype(np.float64),
+            "descriptors0": de0.astype(np.float64),
+            "descriptors1": de1.astype(np.float64),
+            "kpts0_world": kp0w, "kpts1_world": kp1w,
+            "mask0": mask0, "mask1": mask1,
+            "T_gt": T_gt, "sequence": s, "idx0": i0, "idx1": i1,
+        }
+
+    # ------------------------------------------------------------------
+    def batches(self, batch_size: int, shuffle: bool = False,
+                seed: int = 0, drop_last: bool = True) -> Iterator[Dict]:
+        """Stacked numpy batches (the DataLoader equivalent, X2)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        n_b = len(order) // batch_size if drop_last else \
+            -(-len(order) // batch_size)
+        for b in range(n_b):
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            pairs = [self.get_pair(int(i)) for i in idxs]
+            if not self.cfg.ensure_kpts_num:
+                # re-pad the batch to its max bucket so shapes agree
+                tgt = max(max(p["mask0"].shape[0], p["mask1"].shape[0])
+                          for p in pairs)
+                pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
+            out = {}
+            for k in pairs[0]:
+                if k in ("sequence",):
+                    out[k] = [p[k] for p in pairs]
+                elif k in ("idx0", "idx1"):
+                    out[k] = np.array([p[k] for p in pairs])
+                else:
+                    out[k] = np.stack([p[k] for p in pairs])
+            yield out
+
+
+# ----------------------------------------------------------------------
+def prepare_batch_fn(threshold: float, mutual_check: bool,
+                     compute_dtype: str = "float32",
+                     gt_dtype: str = "float32"):
+    """Jitted device preprocessing: descriptor L2-norm + GT generation.
+
+    Descriptor normalization: ``load_data.py:290-292``. GT matches use
+    int32 with the reference's -1 sentinel (reference used int16,
+    ``load_data.py:273``; int32 is the TPU-native integer width).
+    """
+    cdt = jnp.dtype(compute_dtype)
+    gdt = jnp.dtype(gt_dtype)
+
+    @jax.jit
+    def prepare(kp0, kp1, sc0, sc1, de0, de1, kp0w, kp1w, mask0, mask1):
+        n0 = jnp.linalg.norm(de0, axis=-1, keepdims=True)
+        n1 = jnp.linalg.norm(de1, axis=-1, keepdims=True)
+        de0n = de0 / jnp.maximum(n0, 1e-30)
+        de1n = de1 / jnp.maximum(n1, 1e-30)
+        gt = gt_correspondences(kp0w.astype(gdt), kp1w.astype(gdt),
+                                threshold, mutual_check, mask0, mask1)
+        return {
+            "keypoints0": kp0.astype(cdt), "keypoints1": kp1.astype(cdt),
+            "scores0": sc0.astype(cdt), "scores1": sc1.astype(cdt),
+            "descriptors0": de0n.astype(cdt),
+            "descriptors1": de1n.astype(cdt),
+            "gt_matches0": gt.matches0, "gt_matches1": gt.matches1,
+            "rep": gt.rep, "mask0": mask0, "mask1": mask1,
+        }
+
+    def run(batch: Dict) -> Dict:
+        out = prepare(batch["keypoints0"], batch["keypoints1"],
+                      batch["scores0"], batch["scores1"],
+                      batch["descriptors0"], batch["descriptors1"],
+                      batch["kpts0_world"], batch["kpts1_world"],
+                      batch["mask0"], batch["mask1"])
+        out = dict(out)
+        out["T_gt"] = batch["T_gt"]
+        for k in ("sequence", "idx0", "idx1"):
+            if k in batch:
+                out[k] = batch[k]
+        return out
+
+    return run

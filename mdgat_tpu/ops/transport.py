@@ -86,8 +86,16 @@ def log_sinkhorn(dense, alpha, log_mu, log_mu_bin, log_nu, log_nu_bin,
         v_bin = log_nu_bin - jnp.logaddexp(vbr_main, alpha + u_bin)
         return (u, u_bin, v, v_bin), None
 
-    init = (jnp.zeros((b, n), dt), jnp.zeros((b,), dt),
-            jnp.zeros((b, m), dt), jnp.zeros((b,), dt))
+    # Padded rows/cols must carry zero mass from iteration 0: the bin-row/
+    # bin-col logsumexps see `alpha + v_j` for every column, so a padded
+    # column with v=0 would contribute spuriously on the first iteration.
+    # Initializing the padded potentials at the -inf sentinel (derived from
+    # the -inf marginals) makes every iteration exactly equal the unpadded
+    # recurrence; valid entries start at 0 like the reference.
+    neg = _big_neg(dt)
+    u0 = jnp.where(log_mu > 0.5 * neg, 0.0, neg).astype(dt)
+    v0 = jnp.where(log_nu > 0.5 * neg, 0.0, neg).astype(dt)
+    init = (u0, jnp.zeros((b,), dt), v0, jnp.zeros((b,), dt))
     (u, u_bin, v, v_bin), _ = jax.lax.scan(body, init, None, length=iters)
     return u, u_bin, v, v_bin
 

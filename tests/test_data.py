@@ -1,0 +1,103 @@
+"""Data pipeline tests: synthetic KITTI layout through the real reader."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mdgat_tpu.core.config import train_defaults, test_defaults
+from mdgat_tpu.data import (
+    SparseDataset, prepare_batch_fn, write_synthetic_kitti,
+    make_synthetic_pair,
+)
+from mdgat_tpu.data.pipeline import duplicate_pad
+
+import golden
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    kp_dir = write_synthetic_kitti(str(root),
+                                   seqs=(0, 2, 3, 4, 5, 6, 7, 9, 10),
+                                   frames_per_seq=5, pairs_per_seq=4,
+                                   n_points=150, seed=1)
+    return str(root), kp_dir
+
+
+def _cfg(root, kp_dir, **kw):
+    return train_defaults(train_path=root, keypoints_path=kp_dir,
+                          txt_path=f"{root}/preprocess-random-full",
+                          max_keypoints=128, **kw)
+
+
+def test_dataset_reads_synthetic_layout(kitti_root):
+    root, kp_dir = kitti_root
+    ds = SparseDataset(_cfg(root, kp_dir), "train")
+    assert len(ds) == 4 * 7  # pairs_per_seq for the 7 train seqs
+    pair = ds.get_pair(0)
+    assert pair["keypoints0"].shape == (128, 3)
+    assert pair["descriptors0"].shape == (128, 33)
+    assert pair["mask0"].all()  # ensure_kpts_num -> all slots valid
+    assert pair["T_gt"].shape == (4, 4)
+
+
+def test_prepare_batch_generates_gt_matches(kitti_root):
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir)
+    ds = SparseDataset(cfg, "train")
+    batch = next(ds.batches(batch_size=2))
+    prep = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
+                            compute_dtype="float64", gt_dtype="float64")
+    out = prep(batch)
+    gt0 = np.asarray(out["gt_matches0"])
+    # planted overlaps must be recovered: a healthy fraction matched
+    assert (gt0 >= 0).mean() > 0.3
+    # parity with the reference-exact numpy path, per pair
+    for b in range(2):
+        ref0, ref1, rep = golden.np_gt_correspondences(
+            batch["kpts0_world"][b], batch["kpts1_world"][b], cfg.threshold)
+        np.testing.assert_array_equal(gt0[b], ref0)
+        np.testing.assert_array_equal(np.asarray(out["gt_matches1"][b]), ref1)
+        assert int(out["rep"][b]) == rep
+
+
+def test_prepare_batch_normalizes_descriptors(kitti_root):
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir)
+    ds = SparseDataset(cfg, "train")
+    batch = next(ds.batches(batch_size=2))
+    out = prepare_batch_fn(cfg.threshold, False, "float64", "float64")(batch)
+    norms = np.linalg.norm(np.asarray(out["descriptors0"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+
+
+def test_variable_n_padding_with_masks(kitti_root):
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir, ensure_kpts_num=False)
+    ds = SparseDataset(cfg, "test")
+    pair = ds.get_pair(0)
+    n_valid = int(pair["mask0"].sum())
+    assert n_valid == 150                    # raw count, no filter/truncation
+    assert pair["keypoints0"].shape[0] == 256  # next 128-multiple
+    assert not pair["mask0"][n_valid:].any()
+
+
+def test_duplicate_pad_reference_semantics():
+    kp = np.arange(15).reshape(5, 3).astype(float)
+    sc = np.arange(5).astype(float)
+    de = np.arange(10).reshape(5, 2).astype(float)
+    kp2, sc2, de2 = duplicate_pad(kp, sc, de, 12)
+    assert kp2.shape == (12, 3) and sc2.shape == (12,) and de2.shape == (12, 2)
+    # loop semantics: first pass prepends rows 0..4 twice (5->10), second
+    # prepends rows 0..1 (10->12): final = [kp[:2], kp, kp]
+    np.testing.assert_array_equal(kp2, np.vstack([kp[:2], kp, kp]))
+
+
+def test_synthetic_pair_has_overlap():
+    rng = np.random.default_rng(0)
+    p = make_synthetic_pair(rng, n_points=100, overlap=0.6)
+    # T_gt maps kp1 into kp0 frame: transported shared points must have
+    # close neighbors in kp0
+    kp1h = p["kp1"] @ p["T_gt"][:3, :3].T + p["T_gt"][:3, 3]
+    d = np.linalg.norm(kp1h[:, None] - p["kp0"][None], axis=-1)
+    assert (d.min(axis=1) < 0.5).sum() >= 50

@@ -1,0 +1,141 @@
+"""Model-level tests: init, forward, loss, padding invariance, variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mdgat_tpu.core.config import Config, train_defaults
+from mdgat_tpu.models import MDGAT, SuperGlue, build_model
+from mdgat_tpu.data.synthetic import make_synthetic_pair
+
+
+def tiny_cfg(**kw):
+    base = dict(L=2, k=(8, None, 4, None), descriptor_dim=32,
+                keypoint_encoder=(16, 32), descriptor_encoder=(16,),
+                sinkhorn_iterations=8, compute_dtype="float64",
+                param_dtype="float64", batch_size=2, max_keypoints=24)
+    base.update(kw)
+    return train_defaults(**base)
+
+
+def tiny_batch(cfg, b=2, n=24, m=24, seed=0, masks=False):
+    rng = np.random.default_rng(seed)
+    pairs = [make_synthetic_pair(rng, n_points=n, overlap=0.7)
+             for _ in range(b)]
+    batch = {
+        "keypoints0": jnp.asarray(np.stack([p["kp0"] for p in pairs])),
+        "keypoints1": jnp.asarray(np.stack([p["kp1"] for p in pairs])),
+        "scores0": jnp.asarray(np.stack([p["score0"] for p in pairs])),
+        "scores1": jnp.asarray(np.stack([p["score1"] for p in pairs])),
+        "descriptors0": jnp.asarray(np.stack([p["desc0"] for p in pairs])),
+        "descriptors1": jnp.asarray(np.stack([p["desc1"] for p in pairs])),
+    }
+    d0 = batch["descriptors0"]
+    d1 = batch["descriptors1"]
+    batch["descriptors0"] = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+    batch["descriptors1"] = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    gt0 = rng.integers(-1, m, size=(b, n)).astype(np.int32)
+    gt1 = rng.integers(-1, n, size=(b, m)).astype(np.int32)
+    batch["gt_matches0"] = jnp.asarray(gt0)
+    batch["gt_matches1"] = jnp.asarray(gt1)
+    if masks:
+        batch["mask0"] = jnp.ones((b, n), bool)
+        batch["mask1"] = jnp.ones((b, m), bool)
+    return batch
+
+
+@pytest.mark.parametrize("descriptor", ["FPFH", "FPFH_gloabal", "FPFH_only"])
+def test_forward_shapes_and_finite_loss(descriptor):
+    cfg = tiny_cfg(descriptor=descriptor)
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = tiny_batch(cfg)
+    out, new_state = jax.jit(
+        lambda p, s, b: model.apply(p, s, b, train=True))(params, state, batch)
+    assert out["matches0"].shape == (2, 24)
+    assert out["matches1"].shape == (2, 24)
+    assert out["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+    # matches are either -1 or valid indices
+    m0 = np.asarray(out["matches0"])
+    assert ((m0 >= -1) & (m0 < 24)).all()
+
+
+@pytest.mark.parametrize("loss_method", ["gap_loss", "triplet_loss",
+                                         "superglue"])
+def test_loss_methods(loss_method):
+    cfg = tiny_cfg(loss_method=loss_method)
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    batch = tiny_batch(cfg)
+    out, _ = model.apply(params, state, batch, train=False)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+def test_superglue_baseline_runs_full_attention():
+    cfg = tiny_cfg(net="superglue")
+    model = build_model(cfg)
+    assert isinstance(model, SuperGlue)
+    assert model.config.layer_k_schedule(24) == [None] * 4
+    params, state = model.init(jax.random.PRNGKey(2))
+    out, _ = model.apply(params, state, tiny_batch(cfg), train=False)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+def test_raw_net_disables_topk():
+    cfg = tiny_cfg(net="raw")
+    assert cfg.layer_k_schedule(24) == [None] * 4
+
+
+def test_padding_invariance_eval():
+    """Padded forward (masks) == unpadded forward on the valid block."""
+    cfg = tiny_cfg(loss_method="gap_loss")
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(3))
+    batch = tiny_batch(cfg, b=1, n=24, m=24)
+    out_ref, _ = model.apply(params, state, batch, train=False)
+
+    # pad keypoint axis 24 -> 32 with junk + masks
+    def pad(x, tgt, fill=0.0):
+        pw = [(0, 0), (0, tgt - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pw, constant_values=fill)
+
+    pb = {
+        "keypoints0": pad(batch["keypoints0"], 32, 7.0),
+        "keypoints1": pad(batch["keypoints1"], 32, 7.0),
+        "scores0": pad(batch["scores0"], 32, 1.0),
+        "scores1": pad(batch["scores1"], 32, 1.0),
+        "descriptors0": pad(batch["descriptors0"], 32, 0.5),
+        "descriptors1": pad(batch["descriptors1"], 32, 0.5),
+        "gt_matches0": pad(batch["gt_matches0"], 32, -1),
+        "gt_matches1": pad(batch["gt_matches1"], 32, -1),
+        "mask0": jnp.arange(32)[None, :] < 24,
+        "mask1": jnp.arange(32)[None, :] < 24,
+    }
+    out_pad, _ = model.apply(params, state, pb, train=False)
+    np.testing.assert_array_equal(np.asarray(out_pad["matches0"])[:, :24],
+                                  np.asarray(out_ref["matches0"]))
+    np.testing.assert_allclose(
+        np.asarray(out_pad["matching_scores0"])[:, :24],
+        np.asarray(out_ref["matching_scores0"]), rtol=1e-6)
+    assert (np.asarray(out_pad["matches0"])[:, 24:] == -1).all()
+    np.testing.assert_allclose(np.asarray(out_pad["loss"]),
+                               np.asarray(out_ref["loss"]), rtol=1e-6)
+
+
+def test_gradients_flow():
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(4))
+    batch = tiny_batch(cfg)
+
+    def loss_fn(p):
+        out, _ = model.apply(p, state, batch, train=True)
+        return jnp.mean(out["loss"])
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # bin_score is learnable and must receive gradient
+    assert abs(float(grads["bin_score"])) > 0
