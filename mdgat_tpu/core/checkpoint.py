@@ -1,0 +1,232 @@
+"""Checkpointing: native format + PyTorch ``.pth`` conversion.
+
+Native format: a flat ``.npz`` of path-keyed arrays plus the reference's
+five logical fields (``net`` = params+bn-state, ``optimizer``, ``epoch``,
+``lr_schedule``, ``loss`` — ``train.py:288-294``). Dependency-free and
+mmap-friendly; no pickle.
+
+``.pth`` conversion (``convert_pth_state_dict``): maps a reference torch
+``state_dict`` onto our param/state pytrees —
+* strips the ``DataParallel`` ``module.`` prefix (the reference wraps
+  unconditionally, ``train.py:196``);
+* 1x1 ``Conv1d`` weights ``[out, in, 1]`` -> dense kernels ``[in, out]``;
+* ``BatchNorm1d`` weight/bias -> bn scale/bias (params), running
+  mean/var -> bn state;
+* the q/k/v head split needs no re-permutation: our ``split_heads``
+  mirrors torch's ``view(B, dim, heads, N)`` channel mapping.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# flat-path (de)serialization for pytrees of arrays
+# ---------------------------------------------------------------------------
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+_NONE_SENTINEL = "__none__"
+
+
+def tree_to_flat(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    leaves = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: x is None)[0]
+    for path, leaf in leaves:
+        if leaf is None:
+            # BN-less MLP layers carry None state slots; keep them explicit
+            # so list lengths survive the roundtrip.
+            flat[_path_str(path)] = np.asarray(_NONE_SENTINEL)
+        else:
+            flat[_path_str(path)] = np.asarray(leaf)
+    return flat
+
+
+def flat_to_tree(flat: Dict[str, np.ndarray]):
+    """Rebuild nested dicts/lists from path keys (digit segments = lists)."""
+    root: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = root
+        for i, p in enumerate(parts[:-1]):
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def listify(node):
+        if not isinstance(node, dict):
+            if (isinstance(node, np.ndarray) and node.dtype.kind == "U"
+                    and node.ndim == 0 and str(node) == _NONE_SENTINEL):
+                return None
+            return node
+        keys = list(node.keys())
+        if keys and all(re.fullmatch(r"\d+", k) for k in keys):
+            idxs = sorted(int(k) for k in keys)
+            return [listify(node[str(i)]) for i in idxs]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_checkpoint(path: str, params, bn_state, opt_state=None,
+                    epoch: int = 0, lr: float = 0.0, loss: float = 0.0):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {}
+    for name, tree in (("params", params), ("bn_state", bn_state),
+                       ("opt_state", opt_state)):
+        if tree is None:
+            continue
+        for k, v in tree_to_flat(tree).items():
+            flat[f"{name}::{k}"] = v
+    flat["meta::epoch"] = np.asarray(epoch)
+    flat["meta::lr_schedule"] = np.asarray(lr)
+    flat["meta::loss"] = np.asarray(loss)
+    np.savez(path, **flat)
+
+
+def load_checkpoint(path: str):
+    data = np.load(path if path.endswith(".npz") else path + ".npz",
+                   allow_pickle=False)
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    meta = {}
+    for key in data.files:
+        group, sub = key.split("::", 1)
+        if group == "meta":
+            meta[sub] = data[key].item()
+        else:
+            groups.setdefault(group, {})[sub] = data[key]
+    out = {name: flat_to_tree(flat) for name, flat in groups.items()}
+    out["meta"] = meta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch .pth conversion
+# ---------------------------------------------------------------------------
+
+def _strip_module(sd: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                            else v)
+    return out
+
+
+def _conv_positions(n_channels: int):
+    """Sequential indices of the convs in MLP(channels): conv_i at 3*i
+    (each non-last layer is conv+bn+relu)."""
+    return [3 * i for i in range(n_channels - 1)]
+
+
+def _convert_mlp(sd, prefix: str, channels, dtype=np.float64):
+    """(params_list, state_list) for one reference MLP stack."""
+    n = len(channels)
+    params, state = [], []
+    for i, pos in enumerate(_conv_positions(n)):
+        w = sd[f"{prefix}.{pos}.weight"]            # [out, in, 1]
+        b = sd[f"{prefix}.{pos}.bias"]
+        layer = {"lin": {"w": jnp.asarray(w[:, :, 0].T, dtype),
+                         "b": jnp.asarray(b, dtype)}}
+        if i < n - 2:  # has BN
+            layer["bn"] = {
+                "scale": jnp.asarray(sd[f"{prefix}.{pos + 1}.weight"], dtype),
+                "bias": jnp.asarray(sd[f"{prefix}.{pos + 1}.bias"], dtype),
+            }
+            state.append({
+                "mean": jnp.asarray(sd[f"{prefix}.{pos + 1}.running_mean"],
+                                    dtype),
+                "var": jnp.asarray(sd[f"{prefix}.{pos + 1}.running_var"],
+                                   dtype),
+            })
+        else:
+            state.append(None)
+        params.append(layer)
+    return params, state
+
+
+def _convert_conv(sd, prefix: str, dtype=np.float64):
+    w = sd[f"{prefix}.weight"]
+    return {"w": jnp.asarray(w[:, :, 0].T, dtype),
+            "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
+
+
+def convert_pth_state_dict(sd: Dict[str, Any], config,
+                           dtype=np.float64) -> Tuple[Dict, Dict]:
+    """Reference MDGAT/SuperGlue ``state_dict`` -> (params, bn_state)."""
+    sd = _strip_module(sd)
+    fd = config.descriptor_dim
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+
+    if config.descriptor in ("FPFH", "FPFH_gloabal"):
+        ch = [4] + list(config.keypoint_encoder) + [fd]
+        p, s = _convert_mlp(sd, "kenc.encoder", ch, dtype)
+        params["kenc"], state["kenc"] = {"mlp": p}, {"mlp": s}
+    if config.descriptor in ("FPFH", "FPFH_only"):
+        ch = [33] + list(config.descriptor_encoder) + [fd]
+        p, s = _convert_mlp(sd, "denc.encoder", ch, dtype)
+        params["denc"], state["denc"] = {"mlp": p}, {"mlp": s}
+    elif config.descriptor == "FPFH_gloabal":
+        ch1 = [33] + list(config.descriptor_encoder) + [fd]
+        ch2 = [fd * 2, fd * 2, fd]
+        p1, s1 = _convert_mlp(sd, "denc.encoder", ch1, dtype)
+        p2, s2 = _convert_mlp(sd, "denc.encoder2", ch2, dtype)
+        params["denc"] = {"mlp": p1, "mlp2": p2}
+        state["denc"] = {"mlp": s1, "mlp2": s2}
+
+    n_layers = 2 * config.L
+    glayers, gstates = [], []
+    mlp_ch = [fd * 2, fd * 2, fd]
+    for i in range(n_layers):
+        pre = f"gnn.layers.{i}"
+        attn = {
+            "q": _convert_conv(sd, f"{pre}.attn.proj.0", dtype),
+            "k": _convert_conv(sd, f"{pre}.attn.proj.1", dtype),
+            "v": _convert_conv(sd, f"{pre}.attn.proj.2", dtype),
+            "merge": _convert_conv(sd, f"{pre}.attn.merge", dtype),
+        }
+        mp, ms = _convert_mlp(sd, f"{pre}.mlp", mlp_ch, dtype)
+        glayers.append({"attn": attn, "mlp": mp})
+        gstates.append({"mlp": ms})
+    params["gnn"], state["gnn"] = glayers, gstates
+
+    params["final_proj"] = _convert_conv(sd, "final_proj", dtype)
+    params["bin_score"] = jnp.asarray(sd["bin_score"], dtype).reshape(())
+    return params, state
+
+
+def load_pth_checkpoint(path: str, config, dtype=np.float64):
+    """Load a reference ``.pth`` training checkpoint
+    (``{net, optimizer, epoch, lr_schedule, loss}``, ``train.py:288-294``)."""
+    import torch  # local import: torch is only needed for conversion
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt["net"] if "net" in ckpt else ckpt
+    params, state = convert_pth_state_dict(sd, config, dtype)
+    meta = {
+        "epoch": int(ckpt.get("epoch", 0)),
+        "lr_schedule": float(ckpt.get("lr_schedule", 0.0)),
+        "loss": float(ckpt.get("loss", 0.0)) if not hasattr(
+            ckpt.get("loss", 0.0), "item") else float(ckpt["loss"].item()),
+    }
+    return params, state, meta

@@ -1,0 +1,3 @@
+from mdgat_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, batch_sharding,
+)

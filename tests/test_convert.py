@@ -1,0 +1,95 @@
+"""Checkpoint tests: torch .pth conversion parity + native save/load."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from mdgat_tpu.core.checkpoint import (
+    convert_pth_state_dict, load_pth_checkpoint, save_checkpoint,
+    load_checkpoint, tree_to_flat, flat_to_tree,
+)
+from mdgat_tpu.models import MDGAT
+from mdgat_tpu.ops.transport import assemble_full_scores
+
+import torch_ref
+from test_model import tiny_cfg, tiny_batch
+
+
+@pytest.mark.parametrize("descriptor", ["FPFH", "FPFH_only"])
+@pytest.mark.parametrize("train_mode", [False, True])
+def test_pth_conversion_forward_parity(descriptor, train_mode):
+    """Converted torch weights produce torch-identical OT scores."""
+    cfg = tiny_cfg(descriptor=descriptor)
+    sd = torch_ref.make_state_dict(cfg, seed=5)
+    params, state = convert_pth_state_dict(sd, cfg)
+    model = MDGAT(cfg)
+    batch = tiny_batch(cfg, b=2, n=16, m=16, seed=6)
+
+    ref = torch_ref.t_forward_scores(sd, cfg, batch, train=train_mode)
+    out, _ = model.apply(params, state, batch, train=train_mode,
+                         return_full_scores=True)
+    got = np.asarray(out["scores"])
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-9)
+
+
+def test_pth_conversion_with_full_default_architecture():
+    """Conversion handles the real (L=9, dim=128) architecture keys."""
+    from mdgat_tpu.core.config import train_defaults
+    cfg = train_defaults(compute_dtype="float64", param_dtype="float64")
+    sd = torch_ref.make_state_dict(cfg, seed=1)
+    params, state = convert_pth_state_dict(sd, cfg)
+    assert len(params["gnn"]) == 18
+    assert params["kenc"]["mlp"][0]["lin"]["w"].shape == (4, 32)
+    assert params["gnn"][0]["attn"]["q"]["w"].shape == (128, 128)
+    assert params["bin_score"].shape == ()
+
+
+def test_load_pth_checkpoint_file(tmp_path):
+    cfg = tiny_cfg()
+    sd = torch_ref.make_state_dict(cfg, seed=2)
+    ckpt = {"net": sd, "optimizer": {}, "epoch": 12,
+            "lr_schedule": 1e-4, "loss": torch.tensor(0.5)}
+    path = str(tmp_path / "model_epoch_12.pth")
+    torch.save(ckpt, path)
+    params, state, meta = load_pth_checkpoint(path, cfg)
+    assert meta["epoch"] == 12
+    assert meta["loss"] == 0.5
+    assert params["bin_score"].shape == ()
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params, state, epoch=3, lr=1e-4, loss=0.25)
+    loaded = load_checkpoint(path)
+    assert loaded["meta"]["epoch"] == 3
+    assert loaded["meta"]["loss"] == 0.25
+
+    flat_a = tree_to_flat(params)
+    flat_b = tree_to_flat(loaded["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+    # loaded tree works as params
+    batch = tiny_batch(cfg)
+    out, _ = model.apply(jax.tree.map(jnp.asarray, loaded["params"]),
+                         jax.tree.map(jnp.asarray, loaded["bn_state"]),
+                         batch, train=False)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+def test_flat_tree_roundtrip_with_lists():
+    tree = {"a": [{"x": np.ones(2)}, {"x": np.zeros(3)}],
+            "b": {"c": np.arange(4)}}
+    flat = tree_to_flat(tree)
+    back = flat_to_tree(flat)
+    assert isinstance(back["a"], list) and len(back["a"]) == 2
+    np.testing.assert_array_equal(back["a"][1]["x"], np.zeros(3))
+    np.testing.assert_array_equal(back["b"]["c"], np.arange(4))
