@@ -1,0 +1,171 @@
+"""Shared CLI: the reference's public flags + TPU-native extras.
+
+Flag names and per-entry-point defaults match the reference argparse
+blocks (``train.py:16-123``, ``test.py:18-126``), including divergent
+defaults between train and test (batch size, max_keypoints,
+ensure_kpts_num, loss_method, memory_is_enough). Type quirks of the
+reference (e.g. ``--learning_rate type=int``, ``train.py:25``) are fixed
+to their obvious intent; ``--k`` accepts the reference's Python-list
+syntax (``[128, None, 128, None, 64, None, 64, None]``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+from typing import Optional
+
+from mdgat_tpu.core.config import Config, test_defaults, train_defaults
+
+
+def _parse_k(s: str):
+    if s in ("None", "none", ""):
+        return None
+    val = ast.literal_eval(s)
+    if val is None:
+        return None
+    return tuple(val)
+
+
+def _parse_bool(s: str) -> bool:
+    return str(s).lower() in ("1", "true", "yes", "y")
+
+
+def build_parser(preset: str) -> argparse.ArgumentParser:
+    d = train_defaults() if preset == "train" else test_defaults()
+    p = argparse.ArgumentParser(
+        description="Point cloud matching ({} preset)".format(preset),
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+
+    p.add_argument("--sinkhorn_iterations", type=int,
+                   default=d.sinkhorn_iterations)
+    p.add_argument("--learning_rate", type=float, default=d.learning_rate)
+    p.add_argument("--epoch", type=int, default=d.epoch)
+    p.add_argument("--memory_is_enough", type=_parse_bool,
+                   default=d.memory_is_enough)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--local_rank", type=int, nargs="*", default=[0],
+                   help="accepted for CLI compatibility; device placement "
+                        "is managed by the JAX mesh")
+    p.add_argument("--resume", type=_parse_bool, default=False)
+    p.add_argument("--net", type=str, default=d.net,
+                   choices=["mdgat", "superglue", "raw"])
+    p.add_argument("--loss_method", type=str, default=d.loss_method,
+                   choices=["superglue", "triplet_loss", "gap_loss"])
+    p.add_argument("--mutual_check", type=_parse_bool, default=d.mutual_check)
+    p.add_argument("--k", type=_parse_k,
+                   default=d.k)
+    p.add_argument("--l", type=int, default=d.L)
+    p.add_argument("--descriptor", type=str, default=d.descriptor,
+                   choices=["FPFH", "FPFH_gloabal", "FPFH_only",
+                            "pointnet", "pointnetmsg"])
+    p.add_argument("--keypoints", type=str, default=d.keypoints)
+    p.add_argument("--ensure_kpts_num", type=_parse_bool,
+                   default=d.ensure_kpts_num)
+    p.add_argument("--max_keypoints", type=int, default=d.max_keypoints)
+    p.add_argument("--dataset", type=str, default=d.dataset)
+    p.add_argument("--resume_model", type=str, default=d.resume_model)
+    p.add_argument("--train_path", type=str, default=d.train_path)
+    p.add_argument("--keypoints_path", type=str, default=d.keypoints_path)
+    p.add_argument("--txt_path", type=str, default=d.txt_path)
+    p.add_argument("--model_out_path", type=str, default=d.model_out_path)
+    p.add_argument("--match_threshold", type=float, default=d.match_threshold)
+    p.add_argument("--threshold", type=float, default=d.threshold)
+    p.add_argument("--triplet_loss_gamma", type=float,
+                   default=d.triplet_loss_gamma)
+    p.add_argument("--train_step", type=int, default=d.train_step)
+
+    # eval-only flags of the reference test scripts
+    if preset == "test":
+        p.add_argument("--visualize", type=_parse_bool, default=False)
+        p.add_argument("--vis_line_width", type=float, default=0.2)
+        p.add_argument("--calculate_pose", type=_parse_bool, default=True)
+
+    # --- TPU-native extras (no reference equivalent) ---
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "float64"])
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="0 = use all devices on the data mesh axis")
+    p.add_argument("--seq_parallel", type=int, default=1)
+    p.add_argument("--use_pallas", type=_parse_bool, default=True)
+    p.add_argument("--synthetic", type=_parse_bool, default=False,
+                   help="generate a synthetic KITTI-format dataset under "
+                        "--train_path if keypoints are absent (demo mode)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps_per_epoch", type=int, default=0,
+                   help="0 = full epoch; >0 truncates (smoke runs)")
+    p.add_argument("--max_pairs", type=int, default=0,
+                   help="eval: 0 = all pairs, >0 truncates")
+    return p
+
+
+def config_from_args(args, preset: str) -> Config:
+    base = train_defaults() if preset == "train" else test_defaults()
+    cfg = base.replace(
+        sinkhorn_iterations=args.sinkhorn_iterations,
+        learning_rate=args.learning_rate,
+        epoch=args.epoch,
+        memory_is_enough=args.memory_is_enough,
+        batch_size=args.batch_size,
+        resume=args.resume,
+        net=args.net,
+        loss_method=args.loss_method,
+        mutual_check=args.mutual_check,
+        k=args.k,
+        L=args.l,
+        descriptor=args.descriptor,
+        keypoints=args.keypoints,
+        ensure_kpts_num=args.ensure_kpts_num,
+        max_keypoints=args.max_keypoints,
+        dataset=args.dataset,
+        resume_model=args.resume_model,
+        train_path=args.train_path,
+        keypoints_path=args.keypoints_path,
+        txt_path=args.txt_path,
+        model_out_path=args.model_out_path,
+        match_threshold=args.match_threshold,
+        threshold=args.threshold,
+        triplet_loss_gamma=args.triplet_loss_gamma,
+        train_step=args.train_step,
+        compute_dtype=args.compute_dtype,
+        param_dtype=("float64" if args.compute_dtype == "float64"
+                     else "float32"),
+        data_parallel=args.data_parallel,
+        seq_parallel=args.seq_parallel,
+        use_pallas=args.use_pallas,
+        seed=args.seed,
+    )
+    if cfg.net == "raw":
+        cfg = cfg.replace(k=None, L=9)  # train.py:130-132
+    return cfg
+
+
+def setup_jax(cfg: Config):
+    import jax
+    if cfg.compute_dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.jax_cache" if __import__("os").access(
+                          "/root", __import__("os").W_OK) else "/tmp/.jax_cache")
+
+
+def maybe_generate_synthetic(cfg: Config, args) -> Config:
+    """Demo mode: materialize a synthetic KITTI-layout dataset when the
+    real keypoint features are absent."""
+    import os
+    if os.path.isdir(cfg.keypoints_path):
+        return cfg
+    if not args.synthetic:
+        raise SystemExit(
+            f"keypoints_path not found: {cfg.keypoints_path}\n"
+            "Download the USIP/FPFH keypoint features (see reference "
+            "README) or pass --synthetic true for a generated dataset.")
+    from mdgat_tpu.data.synthetic import write_synthetic_kitti
+    root = cfg.train_path
+    print(f"[synthetic] generating KITTI-format dataset under {root}")
+    kp_dir = write_synthetic_kitti(
+        root, seqs=(0, 2, 3, 4, 5, 6, 7, 9, 10), frames_per_seq=12,
+        pairs_per_seq=24, n_points=max(300, cfg.max_keypoints),
+        seed=cfg.seed)
+    return cfg.replace(keypoints_path=kp_dir,
+                       txt_path=os.path.join(root, "preprocess-random-full"))

@@ -40,6 +40,16 @@ from mdgat_tpu.data import kitti
 from mdgat_tpu.ops.geometry import gt_correspondences
 
 
+MODEL_KEYS = ("keypoints0", "keypoints1", "scores0", "scores1",
+              "descriptors0", "descriptors1", "gt_matches0", "gt_matches1",
+              "mask0", "mask1", "cloud0", "cloud1")
+
+
+def model_inputs(batch: Dict) -> Dict:
+    """Array-only sub-dict consumed by the jitted model apply/train step."""
+    return {k: batch[k] for k in MODEL_KEYS if k in batch}
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 

@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Matching + pose evaluation entry point (reference ``test.py``).
+
+Per pair: forward pass, match metrics (precision/accuracy/recall/
+repeatability/fp/tp rates), SVD pose fit with inlier count and
+translation/rotation errors, fail (<4 matches or pose error over 2m/5deg)
+and ban (<10% GT coverage) bookkeeping; prints per-pair lines and the
+aggregate means exactly as the reference protocol defines.
+
+TPU-native: pairs are padded to a static bucket with validity masks and
+evaluated in batches (``--batch_size``; the reference forced 1) through a
+single jitted forward; metric post-processing stays on host numpy.
+"""
+
+import time
+
+import numpy as np
+
+from mdgat_tpu.cli import (build_parser, config_from_args,
+                           maybe_generate_synthetic, setup_jax)
+
+
+def main():
+    args = build_parser("test").parse_args()
+    cfg = config_from_args(args, "test")
+    setup_jax(cfg)
+
+    import jax
+    import jax.numpy as jnp
+    from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
+    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.eval import matching_metrics, pose_metrics
+    from mdgat_tpu.models import build_model
+    from mdgat_tpu.train import make_eval_step
+
+    cfg = maybe_generate_synthetic(cfg, args)
+    model = build_model(cfg)
+
+    if cfg.resume_model.endswith(".pth"):
+        params, bn_state, _ = load_pth_checkpoint(
+            cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
+        print(f"Resume from {cfg.resume_model}")
+    elif cfg.resume_model.endswith(".npz"):
+        ck = load_checkpoint(cfg.resume_model)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+        print(f"Resume from {cfg.resume_model}")
+    else:
+        print("[warn] no checkpoint given (--resume_model); using random "
+              "init — metrics will be near-chance")
+        params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
+
+    test_set = SparseDataset(cfg, "test")
+    prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
+                               cfg.compute_dtype,
+                               "float64" if cfg.compute_dtype == "float64"
+                               else "float32")
+    eval_step = make_eval_step(model)
+
+    arrays = {k: [] for k in
+              ("precision", "accuracy", "recall", "trans_error", "rot_error",
+               "repeatability", "inlier", "inlier_ratio", "fp_rate",
+               "tp_rate", "tp_rate2", "tm", "fm")}
+    fail = 0
+    baned_data = 0
+    n_pairs = 0
+    t0 = time.time()
+
+    for batch in test_set.batches(cfg.batch_size, shuffle=False,
+                                  drop_last=False):
+        prepared = prepare(batch)
+        out = eval_step(params, bn_state, model_inputs(prepared))
+        out = jax.device_get(out)
+        prepared = jax.device_get(prepared)
+
+        for b in range(len(batch["idx0"])):
+            n_pairs += 1
+            mask = np.asarray(prepared["mask0"][b])
+            mask1 = np.asarray(prepared["mask1"][b])
+            kpts0 = np.asarray(prepared["keypoints0"][b])[mask]
+            kpts1 = np.asarray(prepared["keypoints1"][b])[mask1]
+            matches = np.asarray(out["matches0"][b])[mask]
+            conf = np.asarray(out["matching_scores0"][b])[mask]
+            gt0 = np.asarray(prepared["gt_matches0"][b])[mask]
+            idx = batch["idx0"][b]
+
+            mm = matching_metrics(matches, gt0)
+            arrays_ok = True
+            if mm["banned"]:                      # test.py:247-251
+                baned_data += 1
+                fail += 1
+                continue
+            arrays["repeatability"].append(mm["repeatability"])
+
+            valid = matches > -1
+            mkpts0 = kpts0[valid]
+            mkpts1 = kpts1[matches[valid]]
+            if len(mkpts0) < 4:                   # test.py:272-274
+                fail += 1
+                print("registration fail")
+                continue
+
+            if args.calculate_pose:
+                pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
+                if (pm["trans_error"] > 2 or pm["rot_error"] > 5
+                        or np.isnan(pm["trans_error"])
+                        or np.isnan(pm["rot_error"])):
+                    fail += 1                     # test.py:296-298
+                    print("registration fail")
+                    continue
+                arrays["trans_error"].append(pm["trans_error"])
+                arrays["rot_error"].append(pm["rot_error"])
+                arrays["inlier"].append(pm["inlier"])
+                arrays["inlier_ratio"].append(pm["inlier_ratio"])
+                print(
+                    "idx{}, inlier {}, rep {:.3f}, inlier_ratio {:.3f}, "
+                    "precision {:.3f}, accuracy {:.3f}, recall {:.3f}, "
+                    "fp_rate {:.3f}, tp_rate {:.3f}, trans_error {:.3f}, "
+                    "rot_error {:.3f}".format(
+                        idx, pm["inlier"], mm["repeatability"],
+                        pm["inlier_ratio"], mm["precision"], mm["accuracy"],
+                        mm["recall"], mm["fp_rate"], mm["tp_rate_pred"],
+                        pm["trans_error"], pm["rot_error"]))
+            else:
+                print("idx{}, precision {:.3f}, accuracy {:.3f}, recall "
+                      "{:.3f}, true match {}, false match {}, fp_rate "
+                      "{:.3f}, tp_rate {:.3f}".format(
+                          idx, mm["precision"], mm["accuracy"], mm["recall"],
+                          mm["tm"], mm["fm"], mm["fp_rate"],
+                          mm["tp_rate_pred"]))
+
+            arrays["precision"].append(mm["precision"])
+            arrays["accuracy"].append(mm["accuracy"])
+            arrays["recall"].append(mm["recall"])
+            arrays["fp_rate"].append(mm["fp_rate"])
+            arrays["tp_rate"].append(mm["tp_rate_pred"])
+            arrays["tp_rate2"].append(mm["tp_rate"])
+            arrays["tm"].append(mm["tm"])
+            arrays["fm"].append(mm["fm"])
+
+        if args.max_pairs and n_pairs >= args.max_pairs:
+            break
+
+    dt = time.time() - t0
+    mean = {k: (float(np.mean(v)) if v else float("nan"))
+            for k, v in arrays.items()}
+    denom = max(n_pairs - 1, 1)
+    print(
+        "average repeatibility: {:.3f}, inlier_mean {:.3f}, "
+        "inlier_ratio_mean {:.3f}, fail {:.6f}, precision_mean {:.3f}, "
+        "accuracy_mean {:.3f}, recall_mean {:.3f}, true match {:.3f}, "
+        "false match {:.3f}, fp_rate_mean {:.3f}, tp_rate_mean {:.3f}, "
+        "tp_rate_mean2 {:.3f}, trans_error_mean {:.3f}, rot_error_mean "
+        "{:.3f}".format(
+            mean["repeatability"], mean["inlier"], mean["inlier_ratio"],
+            fail / denom, mean["precision"], mean["accuracy"],
+            mean["recall"], mean["tm"], mean["fm"], mean["fp_rate"],
+            mean["tp_rate"], mean["tp_rate2"], mean["trans_error"],
+            mean["rot_error"]))
+    print("baned_data {}".format(baned_data / denom))
+    print(f"[timing] {n_pairs} pairs in {dt:.2f}s = "
+          f"{n_pairs / dt:.1f} pairs/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Registration-recall evaluation (reference ``test_registration_metric.py``).
+
+FCGF/D3Feat-style protocol: AverageMeters over repeatability / inlier /
+precision (inlier ratio) / recall / fp,tp rates; SVD pose fit; RTE
+accumulated when < 2 m, RRE when < 5 deg; registration recall = fraction
+of pairs passing both; final F1 computed from the run-averaged precision
+and recall.
+"""
+
+import numpy as np
+
+from mdgat_tpu.cli import (build_parser, config_from_args,
+                           maybe_generate_synthetic, setup_jax)
+
+
+def main():
+    args = build_parser("test").parse_args()
+    cfg = config_from_args(args, "test")
+    setup_jax(cfg)
+
+    import jax
+    import jax.numpy as jnp
+    from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
+    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.eval import (AverageMeter, matching_metrics, pose_metrics,
+                                registration_summary)
+    from mdgat_tpu.models import build_model
+    from mdgat_tpu.train import make_eval_step
+
+    cfg = maybe_generate_synthetic(cfg, args)
+    model = build_model(cfg)
+    if cfg.resume_model.endswith(".pth"):
+        params, bn_state, _ = load_pth_checkpoint(
+            cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
+    elif cfg.resume_model.endswith(".npz"):
+        ck = load_checkpoint(cfg.resume_model)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+    else:
+        print("[warn] no checkpoint; random init")
+        params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
+
+    test_set = SparseDataset(cfg, "test")
+    prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
+                               cfg.compute_dtype,
+                               "float64" if cfg.compute_dtype == "float64"
+                               else "float32")
+    eval_step = make_eval_step(model)
+
+    meters = {k: AverageMeter() for k in
+              ("rep", "rre", "rte", "inlier", "inlier_ratio", "recall",
+               "tp_rate", "fp_rate", "RR")}
+    meters["RR"] = AverageMeter()
+    baned_data = 0
+    n_pairs = 0
+
+    for batch in test_set.batches(cfg.batch_size, shuffle=False,
+                                  drop_last=False):
+        prepared = prepare(batch)
+        out = jax.device_get(eval_step(params, bn_state, model_inputs(prepared)))
+        prepared = jax.device_get(prepared)
+
+        for b in range(len(batch["idx0"])):
+            n_pairs += 1
+            mask = np.asarray(prepared["mask0"][b])
+            mask1 = np.asarray(prepared["mask1"][b])
+            kpts0 = np.asarray(prepared["keypoints0"][b])[mask]
+            kpts1 = np.asarray(prepared["keypoints1"][b])[mask1]
+            matches = np.asarray(out["matches0"][b])[mask]
+            gt0 = np.asarray(prepared["gt_matches0"][b])[mask]
+            idx = batch["idx0"][b]
+
+            mm = matching_metrics(matches, gt0)
+            if mm["banned"]:
+                baned_data += 1
+                continue
+            meters["rep"].update(mm["repeatability"])
+            meters["fp_rate"].update(mm["fp_rate"])
+            meters["tp_rate"].update(mm["tp_rate"])
+            meters["recall"].update(mm["recall"])
+            meters["inlier_ratio"].update(mm["precision"])
+            meters["inlier"].update(mm["tm"])
+
+            if args.calculate_pose:
+                valid = matches > -1
+                mkpts0 = kpts0[valid]
+                mkpts1 = kpts1[matches[valid]]
+                if len(mkpts0) < 3:
+                    meters["RR"].update(0)
+                    print(f"idx{idx}, rep {mm['repeatability']:.3f}, "
+                          "registration fail")
+                    continue
+                pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
+                rte, rre = pm["trans_error"], pm["rot_error"]
+                if rte < 2:
+                    meters["rte"].update(rte)
+                if not np.isnan(rre) and rre < np.pi / 180 * 5:
+                    meters["rre"].update(rre)
+                if rte < 2 and not np.isnan(rre) and rre < np.pi / 180 * 5:
+                    meters["RR"].update(1)
+                    print(
+                        "idx{}, rep {:.3f}, inlier {}, precision(inlier "
+                        "ratio) {:.3f}, recall {:.3f}, fp_rate {:.3f}, "
+                        "tp_rate {:.3f}, RTE {:.3f}, RRE {:.3f}".format(
+                            idx, mm["repeatability"], mm["tm"],
+                            mm["precision"], mm["recall"], mm["fp_rate"],
+                            mm["tp_rate"], rte, rre))
+                else:
+                    meters["RR"].update(0)
+                    print(f"idx{idx}, rep {mm['repeatability']:.3f}, "
+                          "registration fail")
+            else:
+                print("idx{}, rep {:.3f}, inlier {}, precision(inlier "
+                      "ratio) {:.3f}, recall {:.3f}, fp_rate {:.3f}, "
+                      "tp_rate {:.3f}".format(
+                          idx, mm["repeatability"], mm["tm"],
+                          mm["precision"], mm["recall"], mm["fp_rate"],
+                          mm["tp_rate"]))
+
+        if args.max_pairs and n_pairs >= args.max_pairs:
+            break
+
+    s = registration_summary(meters)
+    print("repeatibility, inlier, RR || precision(inlier ratio), recall, "
+          "F1 || fp_rate, tp_rate || RTE, RRE")
+    print("{:.3f} {:.1f} {:.3f} || {:.3f} {:.3f}  {:.3f} || {:.3f}  "
+          "{:.3f} || {:.3f} {:.3f}".format(
+              s["repeatability"], s["inlier"], s["RR"], s["precision"],
+              s["recall"], s["F1"], s["fp_rate"], s["tp_rate"],
+              s["RTE"], s["RRE"]))
+    print("baned_data {}".format(baned_data / max(n_pairs, 1)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+#!/usr/bin/env python3
+"""Training entry point — reference-compatible CLI (``train.py`` upstream).
+
+Trains MDGAT (or the SuperGlue baseline) on KITTI keypoint pairs with the
+gap loss, validating on seq 9 each epoch, checkpointing per epoch with the
+reference's run-name scheme and best-model naming, and logging the same
+tensorboard scalars (``Train/val_loss``, ``Train/epoch_loss``).
+
+TPU-native execution: batches are sharded over the device mesh's ``data``
+axis (the DataParallel replacement); the train step is one jitted XLA
+program; data preprocessing (GT correspondences, descriptor normalization)
+runs as a second jitted program.
+"""
+
+import os
+import time
+
+import numpy as np
+
+from mdgat_tpu.cli import (build_parser, config_from_args,
+                           maybe_generate_synthetic, setup_jax)
+
+
+def main():
+    args = build_parser("train").parse_args()
+    cfg = config_from_args(args, "train")
+    setup_jax(cfg)
+
+    import jax
+    import jax.numpy as jnp
+    from mdgat_tpu.core.checkpoint import (load_checkpoint,
+                                           load_pth_checkpoint,
+                                           save_checkpoint)
+    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.models import build_model
+    from mdgat_tpu.parallel import make_mesh, replicate, shard_batch
+    from mdgat_tpu.train import (TrainState, create_train_state,
+                                 make_eval_step, make_train_step)
+    from mdgat_tpu.utils import PhaseTimer, ScalarLogger
+
+    cfg = maybe_generate_synthetic(cfg, args)
+
+    log_path = cfg.run_dir("./logs")
+    model_out_path = cfg.run_dir(cfg.model_out_path)
+    os.makedirs(log_path, exist_ok=True)
+    os.makedirs(model_out_path, exist_ok=True)
+    logger = ScalarLogger(log_path)
+    print(f"Train {cfg.net} | k={cfg.k} | descriptor={cfg.descriptor} | "
+          f"loss={cfg.loss_method} | dataset={cfg.dataset}\n"
+          f"model_out_path: {model_out_path}\nlog_path: {log_path}")
+
+    model = build_model(cfg)
+    state, tx = create_train_state(model, jax.random.PRNGKey(cfg.seed),
+                                   cfg.learning_rate)
+    start_epoch, best_loss = 1, 1e6
+    if cfg.resume:
+        if cfg.resume_model.endswith(".pth"):
+            params, bn_state, meta = load_pth_checkpoint(
+                cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
+            state = TrainState(params, bn_state,
+                               tx.init(params), state.step)
+        else:
+            ck = load_checkpoint(cfg.resume_model)
+            params = jax.tree.map(jnp.asarray, ck["params"])
+            bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+            state = TrainState(params, bn_state, tx.init(params), state.step)
+            meta = ck["meta"]
+        best_loss = 1.0  # reference resume resets best_loss (train.py:164)
+        print(f"Resume from {cfg.resume_model} at epoch {meta['epoch']}, "
+              f"loss {meta['loss']:.4f}")
+
+    train_set = SparseDataset(cfg, "train")
+    val_set = SparseDataset(cfg, "val")
+    prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
+                               cfg.compute_dtype,
+                               "float64" if cfg.compute_dtype == "float64"
+                               else "float32")
+
+    mesh = make_mesh(data=cfg.data_parallel or None,
+                     seq=cfg.seq_parallel)
+    n_data = mesh.shape["data"]
+    state = replicate(state, mesh)
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+    timer = PhaseTimer()
+
+    print(f"mesh: {dict(mesh.shape)} | train pairs: {len(train_set)} | "
+          f"val pairs: {len(val_set)}")
+
+    for epoch in range(start_epoch, cfg.epoch + 1):
+        t_epoch = time.time()
+        epoch_loss, n_steps = 0.0, 0
+        for batch in train_set.batches(cfg.batch_size, shuffle=True,
+                                       seed=cfg.seed + epoch):
+            with timer("prepare"):
+                prepared = prepare(batch)
+                sharded = shard_batch(model_inputs(prepared), mesh,
+                                      shard_seq=cfg.seq_parallel > 1)
+            with timer("train_step"):
+                state, metrics = train_step(state, sharded)
+            epoch_loss += float(metrics["loss"])
+            n_steps += 1
+            if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
+                break
+        epoch_loss /= max(n_steps, 1)
+
+        # validation (reference: every epoch on seq 9, train.py:263-285)
+        val_losses = []
+        for batch in val_set.batches(cfg.batch_size, shuffle=False):
+            prepared = prepare(batch)
+            sharded = shard_batch(model_inputs(prepared), mesh,
+                                  shard_seq=cfg.seq_parallel > 1)
+            out = eval_step(state.params, state.bn_state, sharded)
+            val_losses.append(float(jnp.mean(out["loss"])))
+            if args.steps_per_epoch and len(val_losses) >= max(
+                    1, args.steps_per_epoch // 4):
+                break
+        mean_val_loss = float(np.mean(val_losses)) if val_losses else np.inf
+        dt = time.time() - t_epoch
+        print(f"Epoch [{epoch}/{cfg.epoch}] {dt:.1f}s | epoch_loss "
+              f"{epoch_loss:.4f} | val_loss {mean_val_loss:.4f} | "
+              f"best {best_loss:.4f}")
+
+        params_host = jax.device_get(state.params)
+        bn_host = jax.device_get(state.bn_state)
+        if mean_val_loss <= best_loss + 1e-5:
+            best_loss = mean_val_loss
+            out_file = (f"{model_out_path}/best_model_epoch_{epoch}"
+                        f"(val_loss{best_loss}).npz")
+        else:
+            out_file = f"{model_out_path}/model_epoch_{epoch}.npz"
+        save_checkpoint(out_file, params_host, bn_host, epoch=epoch,
+                        lr=cfg.learning_rate, loss=mean_val_loss)
+        print(f"Checkpoint saved to {out_file}")
+
+        logger.add_scalar("Train/val_loss", mean_val_loss, epoch)
+        logger.add_scalar("Train/epoch_loss", epoch_loss, epoch)
+
+    print(timer.report())
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
