@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Benchmark: matched pairs/sec/chip at 256 keypoints (BASELINE.md).
+
+Measures the flagship MDGAT forward (L=9 -> 18 GNN layers with the default
+dynamic top-k schedule, 20 Sinkhorn iterations, match decision + loss) on
+the TPU in float32, and the PyTorch-CPU path (float64, as the reference
+runs, ``train.py:222``) as the baseline.
+
+Timing protocol: the axon runtime makes ``block_until_ready`` unreliable
+and host readbacks pay a ~30 ms tunnel round trip, so we enqueue K steps
+and do a single final readback, subtracting one measured RTT.
+
+Prints ONE JSON line to stdout; progress goes to stderr.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+N_KPTS = 256
+BATCH = 64
+K_STEPS = 30
+
+
+def bench_tpu():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/.jax_bench_cache")
+    import __graft_entry__ as g
+
+    model, params, state, data = g._flagship(batch=BATCH, n=N_KPTS)
+
+    def forward(params, state, b):
+        out, _ = model.apply(params, state, b, train=False)
+        return out["matches0"], out["matching_scores0"], out["loss"]
+
+    jfn = jax.jit(forward)
+    out = jfn(params, state, data)
+    _ = np.asarray(out[2])  # warm: compile + execute + readback
+    log(f"tpu: compiled; device={jax.devices()[0]}")
+
+    # measure RTT with trivial readbacks (median of several)
+    tiny = jax.jit(lambda v: v + 1)
+    x = tiny(jax.numpy.ones(()))
+    _ = np.asarray(x)
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        _ = np.asarray(tiny(x))
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(K_STEPS):
+            out = jfn(params, state, data)
+        _ = np.asarray(out[2])
+        best = min(best, time.time() - t0 - rtt)
+    per_step = best / K_STEPS
+    pairs_per_sec = BATCH / per_step
+    log(f"tpu: {per_step * 1e3:.2f} ms/step (rtt {rtt * 1e3:.1f} ms) "
+        f"-> {pairs_per_sec:.0f} pairs/s")
+    return pairs_per_sec
+
+
+def bench_torch_cpu():
+    """Reference-equivalent forward on CPU (functional torch, float64)."""
+    sys.path.insert(0, "tests")
+    import torch_ref
+    from mdgat_tpu.core.config import train_defaults
+
+    cfg = train_defaults(max_keypoints=N_KPTS)
+    sd = torch_ref.make_state_dict(cfg, seed=0, module_prefix=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "keypoints0": rng.normal(size=(1, N_KPTS, 3)) * 20,
+        "keypoints1": rng.normal(size=(1, N_KPTS, 3)) * 20,
+        "scores0": rng.uniform(10, 30, (1, N_KPTS)),
+        "scores1": rng.uniform(10, 30, (1, N_KPTS)),
+        "descriptors0": rng.normal(size=(1, N_KPTS, 33)),
+        "descriptors1": rng.normal(size=(1, N_KPTS, 33)),
+    }
+    # warm
+    _ = torch_ref.t_forward_scores(sd, cfg, batch, train=False)
+    n_iter = 3
+    t0 = time.time()
+    for _ in range(n_iter):
+        _ = torch_ref.t_forward_scores(sd, cfg, batch, train=False)
+    per = (time.time() - t0) / n_iter
+    log(f"torch-cpu: {per * 1e3:.1f} ms/pair -> {1 / per:.2f} pairs/s")
+    return 1.0 / per
+
+
+def main():
+    tpu_pps = bench_tpu()
+    try:
+        cpu_pps = bench_torch_cpu()
+    except Exception as e:  # torch baseline is best-effort
+        log(f"torch baseline failed: {e}")
+        cpu_pps = None
+    vs = (tpu_pps / cpu_pps) if cpu_pps else None
+    print(json.dumps({
+        "metric": "matched pairs/sec/chip @ 256 kpts (MDGAT fwd, f32)",
+        "value": round(tpu_pps, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs, 1) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
