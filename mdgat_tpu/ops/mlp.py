@@ -65,12 +65,15 @@ def _bn_state_init(c: int, dtype=jnp.float32):
 
 
 def mlp_init(key, channels: Sequence[int], do_bn: bool = True,
-             dtype=jnp.float32, zero_last_bias: bool = False):
+             dtype=jnp.float32, zero_last_bias: bool = False,
+             bn_on_last: bool = False):
     """Params for MLP(channels) mirroring ``models/mdgat.py:34-46``.
 
     Layer i maps channels[i-1] -> channels[i]; BN+ReLU on all but the last
-    layer. ``zero_last_bias`` reproduces the reference's
-    ``nn.init.constant_(encoder[-1].bias, 0.0)`` on selected encoders.
+    layer (``bn_on_last=True`` puts them on every layer — the PointNet++
+    convention, ``pointnet_util.py:215-217``). ``zero_last_bias``
+    reproduces the reference's ``nn.init.constant_(encoder[-1].bias, 0.0)``
+    on selected encoders.
     """
     n = len(channels)
     keys = jax.random.split(key, n - 1)
@@ -79,17 +82,18 @@ def mlp_init(key, channels: Sequence[int], do_bn: bool = True,
         zero_b = zero_last_bias and i == n - 1
         layer = {"lin": conv1x1_init(keys[i - 1], channels[i - 1], channels[i],
                                      dtype, zero_bias=zero_b)}
-        if do_bn and i < n - 1:
+        if do_bn and (bn_on_last or i < n - 1):
             layer["bn"] = _bn_init(channels[i], dtype)
         layers.append(layer)
     return layers
 
 
 def mlp_state_init(channels: Sequence[int], do_bn: bool = True,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, bn_on_last: bool = False):
     """Running-stat state aligned with :func:`mlp_init` (None where no BN)."""
     n = len(channels)
-    return [(_bn_state_init(channels[i], dtype) if (do_bn and i < n - 1) else None)
+    return [(_bn_state_init(channels[i], dtype)
+             if (do_bn and (bn_on_last or i < n - 1)) else None)
             for i in range(1, n)]
 
 
@@ -116,7 +120,8 @@ def _batchnorm(bn, st, x, train: bool, axes):
 
 
 def mlp_apply(params, state, x, train: bool = False,
-              valid_mask: Optional[jnp.ndarray] = None):
+              valid_mask: Optional[jnp.ndarray] = None,
+              relu_on_last: bool = False):
     """Apply the MLP to x [..., N, C].
 
     ``valid_mask`` [..., N] (optional) excludes padded points from batch-stat
@@ -155,6 +160,6 @@ def mlp_apply(params, state, x, train: bool = False,
             new_state.append(new_st)
         else:
             new_state.append(st)
-        if i < n_layers - 1:
+        if relu_on_last or i < n_layers - 1:
             h = jax.nn.relu(h)
     return h, new_state
