@@ -131,7 +131,11 @@ class SparseDataset:
         kp1, sc1, de1 = self._load_frame(s, i1)
         kp0, sc0, de0, n0 = self._shape_keypoints(kp0, sc0, de0, pad_to)
         kp1, sc1, de1, n1 = self._shape_keypoints(kp1, sc1, de1, pad_to)
+        return self._assemble_pair(s, i0, i1, kp0, sc0, de0, n0,
+                                   kp1, sc1, de1, n1)
 
+    def _assemble_pair(self, s, i0, i1, kp0, sc0, de0, n0,
+                       kp1, sc1, de1, n1) -> Dict:
         pose0 = self.poses[s][i0].astype(np.float64)
         pose1 = self.poses[s][i1].astype(np.float64)
         Tcv = self.calib[s].astype(np.float64)
@@ -158,8 +162,52 @@ class SparseDataset:
         }
 
     # ------------------------------------------------------------------
+    def _frame_path(self, s: str, idx: int) -> str:
+        return os.path.join(self.cfg.keypoints_path, s, "%06d.bin" % idx)
+
+    def _native_batch(self, idxs) -> Optional[List[Dict]]:
+        """Threaded native load+shape of a whole batch (X2 equivalent).
+
+        Used on the disk path (``memory_is_enough=False``); returns None
+        when the native library is unavailable (callers fall back to the
+        per-pair Python path)."""
+        try:
+            from mdgat_tpu.native import NativeLoader, native_available
+        except Exception:
+            return None
+        if not native_available():
+            return None
+        recs = [self.pairs[int(i)] for i in idxs]
+        paths, meta = [], []
+        for r in recs:
+            s = "%02d" % r["seq"]
+            paths.append(self._frame_path(s, r["anc_idx"]))
+            paths.append(self._frame_path(s, r["pos_idx"]))
+            meta.append((s, r["anc_idx"], r["pos_idx"]))
+        if self.cfg.ensure_kpts_num:
+            bucket = self.cfg.max_keypoints
+        else:
+            rows = [os.path.getsize(p) // (kitti.KEYPOINT_ROW_FLOATS * 4)
+                    for p in paths]
+            bucket = _round_up(max(max(rows), 1), 128)
+        loader = NativeLoader(bucket, self.cfg.ensure_kpts_num,
+                              self.cfg.score_min,
+                              n_threads=min(8, len(paths)))
+        kp, score, desc, counts = loader.load(paths)
+        pairs = []
+        for j, (s, i0, i1) in enumerate(meta):
+            pairs.append(self._assemble_pair(
+                s, i0, i1,
+                kp[2 * j].astype(np.float64), score[2 * j].astype(np.float64),
+                desc[2 * j].astype(np.float64), int(counts[2 * j]),
+                kp[2 * j + 1].astype(np.float64),
+                score[2 * j + 1].astype(np.float64),
+                desc[2 * j + 1].astype(np.float64), int(counts[2 * j + 1])))
+        return pairs
+
     def batches(self, batch_size: int, shuffle: bool = False,
-                seed: int = 0, drop_last: bool = True) -> Iterator[Dict]:
+                seed: int = 0, drop_last: bool = True,
+                use_native: bool = True) -> Iterator[Dict]:
         """Stacked numpy batches (the DataLoader equivalent, X2)."""
         order = np.arange(len(self))
         if shuffle:
@@ -168,12 +216,16 @@ class SparseDataset:
             -(-len(order) // batch_size)
         for b in range(n_b):
             idxs = order[b * batch_size:(b + 1) * batch_size]
-            pairs = [self.get_pair(int(i)) for i in idxs]
-            if not self.cfg.ensure_kpts_num:
-                # re-pad the batch to its max bucket so shapes agree
-                tgt = max(max(p["mask0"].shape[0], p["mask1"].shape[0])
-                          for p in pairs)
-                pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
+            pairs = None
+            if use_native and not self.cfg.memory_is_enough:
+                pairs = self._native_batch(idxs)
+            if pairs is None:
+                pairs = [self.get_pair(int(i)) for i in idxs]
+                if not self.cfg.ensure_kpts_num:
+                    # re-pad the batch to its max bucket so shapes agree
+                    tgt = max(max(p["mask0"].shape[0], p["mask1"].shape[0])
+                              for p in pairs)
+                    pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
             out = {}
             for k in pairs[0]:
                 if k in ("sequence",):

@@ -93,6 +93,17 @@ def test_duplicate_pad_reference_semantics():
     np.testing.assert_array_equal(kp2, np.vstack([kp[:2], kp, kp]))
 
 
+@pytest.mark.parametrize("ensure", [True, False])
+def test_native_batches_match_python_batches(kitti_root, ensure):
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir, memory_is_enough=False, ensure_kpts_num=ensure)
+    ds = SparseDataset(cfg, "test")
+    b_native = next(ds.batches(batch_size=2, use_native=True))
+    b_python = next(ds.batches(batch_size=2, use_native=False))
+    for k in ("keypoints0", "scores1", "descriptors0", "mask0", "T_gt"):
+        np.testing.assert_array_equal(b_native[k], b_python[k], err_msg=k)
+
+
 def test_synthetic_pair_has_overlap():
     rng = np.random.default_rng(0)
     p = make_synthetic_pair(rng, n_points=100, overlap=0.6)
