@@ -1,0 +1,2 @@
+from mdgat_tpu.ops.pallas.sinkhorn import pallas_log_optimal_transport
+from mdgat_tpu.ops.pallas.attention import pallas_topk_attention

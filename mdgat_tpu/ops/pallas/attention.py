@@ -1,0 +1,110 @@
+"""Fused dynamic top-k attention as a Pallas TPU kernel.
+
+One kernel per (batch, head): computes scores on the MXU, finds each query
+row's k-th largest score by *value bisection* (``jax.lax.top_k`` has no
+Mosaic lowering), applies the masked softmax, and multiplies by V — the
+``[N, M]`` probability matrix never leaves VMEM. The XLA path materializes
+prob in HBM between the softmax and the PV matmul; at L=18 layers that
+dominates HBM traffic.
+
+Bisection: maintain [lo, hi] with count(s >= lo) >= k > count(s >= hi);
+after ~30 halvings lo converges to the k-th value within float precision.
+Exact agreement with the threshold-mask XLA path except for scores tied
+within the final bisection interval (measure-zero for continuous scores).
+
+Forward-only (the training path keeps the differentiable XLA version).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG_NEG = -1e30
+_BISECT_ITERS = 30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
+                 scale: float):
+    q = q_ref[0, 0]                        # [N, D]
+    k = k_ref[0, 0]                        # [M, D]
+    v = v_ref[0, 0]                        # [M, D]
+    kv_mask = mask_ref[0]                  # [1, M] float 0/1
+    dt = q.dtype
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=dt) * scale   # [N, M]
+    neg = jnp.asarray(BIG_NEG, dt)
+    valid = kv_mask > 0.5                  # [1, M] broadcasts over rows
+    s = jnp.where(valid, s, neg)
+
+    if topk > 0:
+        big = jnp.asarray(-BIG_NEG, dt)
+        lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
+        hi = jnp.max(s, axis=1, keepdims=True)
+
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) * 0.5
+            cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
+            take = cnt >= topk
+            lo = jnp.where(take, mid, lo)
+            hi = jnp.where(take, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
+        keep = s >= lo
+    else:
+        keep = valid & jnp.ones_like(s, bool)
+
+    s_m = jnp.where(keep, s, neg)
+    m = jnp.max(s_m, axis=1, keepdims=True)
+    e = jnp.exp(s_m - m) * keep.astype(dt)
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                        jnp.asarray(1e-38, dt))
+    prob = e / denom
+    o_ref[0, 0] = jax.lax.dot_general(prob, v, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=dt)
+
+
+def pallas_topk_attention(q, k, v, topk: Optional[int],
+                          kv_mask: Optional[jnp.ndarray] = None,
+                          interpret: bool = False):
+    """Fused (top-k or dense) attention; q,k,v [B,H,N,D] -> [B,H,N,D].
+
+    ``topk=None`` runs the dense masked softmax in the same fused kernel.
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    dt = q.dtype
+    if kv_mask is None:
+        maskf = jnp.ones((b, 1, m), dt)
+    else:
+        maskf = kv_mask.astype(dt)[:, None, :]
+    scale = 1.0 / (d ** 0.5)
+
+    kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), dt),
+        interpret=interpret,
+    )(q, k, v, maskf)
+    return out

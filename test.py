@@ -129,6 +129,16 @@ def main():
                           mm["tm"], mm["fm"], mm["fp_rate"],
                           mm["tp_rate_pred"]))
 
+            if args.visualize:
+                from mdgat_tpu.eval.visualize import plot_match
+                tp_mask = (matches > -1) & (matches == gt0)
+                fp_mask = (matches > -1) & (matches != gt0)
+                gt_valid = gt0 > -1
+                plot_match([], [], kpts0, kpts1, mkpts0, mkpts1,
+                           kpts0[gt_valid], kpts1[gt0[gt_valid]],
+                           matches, conf[valid], tp_mask, fp_mask,
+                           line_radius=args.vis_line_width)
+
             arrays["precision"].append(mm["precision"])
             arrays["accuracy"].append(mm["accuracy"])
             arrays["recall"].append(mm["recall"])
