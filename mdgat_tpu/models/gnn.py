@@ -46,9 +46,11 @@ def attentional_propagation_init(key, feature_dim: int, num_heads: int,
 
 def attentional_propagation_apply(params, state, x, source,
                                   topk: Optional[int], num_heads: int,
-                                  train=False, valid_mask=None, kv_mask=None):
+                                  train=False, valid_mask=None, kv_mask=None,
+                                  use_pallas: bool = False):
     message = multi_head_attention(params["attn"], x, source, topk,
-                                   num_heads=num_heads, kv_mask=kv_mask)
+                                   num_heads=num_heads, kv_mask=kv_mask,
+                                   use_pallas=use_pallas)
     h = jnp.concatenate([x, message], axis=-1)
     delta, st = mlp_apply(params["mlp"], state["mlp"], h, train, valid_mask)
     return delta, {"mlp": st}
@@ -70,7 +72,7 @@ def gnn_apply(params, states, desc0, desc1,
               layer_names: Sequence[str],
               k_schedule: Sequence[Optional[int]],
               num_heads: int = 4, train=False,
-              mask0=None, mask1=None):
+              mask0=None, mask1=None, use_pallas: bool = False):
     """Run the full GNN stack; returns (desc0, desc1, new_states)."""
     new_states = []
     for i, (p, st, name) in enumerate(zip(params, states, layer_names)):
@@ -80,9 +82,11 @@ def gnn_apply(params, states, desc0, desc1,
             src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
         k = k_schedule[i]
         delta0, st = attentional_propagation_apply(
-            p, st, desc0, src0, k, num_heads, train, mask0, kvm0)
+            p, st, desc0, src0, k, num_heads, train, mask0, kvm0,
+            use_pallas=use_pallas)
         delta1, st = attentional_propagation_apply(
-            p, st, desc1, src1, k, num_heads, train, mask1, kvm1)
+            p, st, desc1, src1, k, num_heads, train, mask1, kvm1,
+            use_pallas=use_pallas)
         desc0 = desc0 + delta0
         desc1 = desc1 + delta1
         new_states.append(st)

@@ -143,13 +143,18 @@ class MDGAT:
                 desc0 = jax.lax.stop_gradient(desc0)
                 desc1 = jax.lax.stop_gradient(desc1)
 
+        # Pallas fused kernels: forward-only (no VJP), so eval path only;
+        # CPU lacks the Mosaic backend — fall back to the XLA versions.
+        use_pallas = (cfg.use_pallas and not train
+                      and jax.default_backend() != "cpu")
+
         if run_gnn:
             n = desc0.shape[1]
             k_sched = cfg.layer_k_schedule(n)
             desc0, desc1, st_gnn = gnn_apply(
                 params["gnn"], state["gnn"], desc0, desc1,
                 cfg.gnn_layer_names, k_sched, cfg.num_heads, train,
-                mask0, mask1)
+                mask0, mask1, use_pallas=use_pallas)
             new_state["gnn"] = st_gnn
             mdesc0 = conv1x1_apply(params["final_proj"], desc0)
             mdesc1 = conv1x1_apply(params["final_proj"], desc1)
@@ -161,9 +166,15 @@ class MDGAT:
                             preferred_element_type=mdesc0.dtype)
         scores = scores / jnp.asarray(cfg.descriptor_dim, scores.dtype) ** 0.5
 
-        ot = log_optimal_transport(
-            scores, params["bin_score"].astype(scores.dtype),
-            cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
+        if use_pallas:
+            from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
+            ot = pallas_log_optimal_transport(
+                scores, params["bin_score"].astype(scores.dtype),
+                cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
+        else:
+            ot = log_optimal_transport(
+                scores, params["bin_score"].astype(scores.dtype),
+                cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
 
         result = match_decision(ot, cfg.loss_method, cfg.match_threshold,
                                 cfg.mutual_check, mask0, mask1)

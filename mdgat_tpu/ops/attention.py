@@ -135,11 +135,12 @@ def merge_heads(x):
 def multi_head_attention(proj_params, x, source, topk: Optional[int],
                          num_heads: int = 4,
                          kv_mask: Optional[jnp.ndarray] = None,
-                         exact: bool = False):
+                         exact: bool = False, use_pallas: bool = False):
     """MultiHeadedAttention of ``models/mdgat.py:213-237`` (functional).
 
     proj_params: {"q","k","v","merge"} each a conv1x1 param dict.
     x, source: [B, N, C]. topk=None selects dense attention.
+    ``use_pallas`` routes through the fused forward-only TPU kernel.
     The reference's ``self.prob`` side-channel accumulation
     (``models/mdgat.py:236``) is dropped — it holds the full dense prob
     matrices in memory and is unused by training/eval.
@@ -149,7 +150,10 @@ def multi_head_attention(proj_params, x, source, topk: Optional[int],
     q = split_heads(conv1x1_apply(proj_params["q"], x), num_heads)
     k = split_heads(conv1x1_apply(proj_params["k"], source), num_heads)
     v = split_heads(conv1x1_apply(proj_params["v"], source), num_heads)
-    if topk is None:
+    if use_pallas:
+        from mdgat_tpu.ops.pallas import pallas_topk_attention
+        o = pallas_topk_attention(q, k, v, topk, kv_mask=kv_mask)
+    elif topk is None:
         o = full_attention(q, k, v, kv_mask=kv_mask)
     else:
         o = topk_attention(q, k, v, topk, kv_mask=kv_mask, exact=exact)
