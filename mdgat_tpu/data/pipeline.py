@@ -134,6 +134,13 @@ class SparseDataset:
         return self._assemble_pair(s, i0, i1, kp0, sc0, de0, n0,
                                    kp1, sc1, de1, n1)
 
+    def _load_cloud(self, s: str, idx: int) -> np.ndarray:
+        """Raw 16384x8 cloud for the learned-descriptor path
+        (``load_data.py:171-178``)."""
+        path = os.path.join(self.cfg.train_path, "kitti_randomsample_16384_n8",
+                            s, "%06d.bin" % idx)
+        return np.fromfile(path, dtype=np.float32).reshape(-1, 8)
+
     def _assemble_pair(self, s, i0, i1, kp0, sc0, de0, n0,
                        kp1, sc1, de1, n1) -> Dict:
         pose0 = self.poses[s][i0].astype(np.float64)
@@ -149,7 +156,12 @@ class SparseDataset:
 
         mask0 = np.zeros(len(kp0), bool); mask0[:n0] = True
         mask1 = np.zeros(len(kp1), bool); mask1[:n1] = True
+        extra = {}
+        if self.cfg.descriptor in ("pointnet", "pointnetmsg"):
+            extra["cloud0"] = self._load_cloud(s, i0).astype(np.float64)
+            extra["cloud1"] = self._load_cloud(s, i1).astype(np.float64)
         return {
+            **extra,
             "keypoints0": kp0.astype(np.float64),
             "keypoints1": kp1.astype(np.float64),
             "scores0": sc0.astype(np.float64),
@@ -275,7 +287,7 @@ def prepare_batch_fn(threshold: float, mutual_check: bool,
                       batch["mask0"], batch["mask1"])
         out = dict(out)
         out["T_gt"] = batch["T_gt"]
-        for k in ("sequence", "idx0", "idx1"):
+        for k in ("sequence", "idx0", "idx1", "cloud0", "cloud1"):
             if k in batch:
                 out[k] = batch[k]
         return out

@@ -83,7 +83,7 @@ def pair_to_bin_rows(kp, score, desc) -> np.ndarray:
 
 def write_synthetic_kitti(root: str, seqs=(0, 9, 10), frames_per_seq: int = 6,
                           pairs_per_seq: int = 8, n_points: int = 300,
-                          seed: int = 0) -> str:
+                          seed: int = 0, cloud_points: int = 0) -> str:
     """Materialize a KITTI-layout dataset directory under ``root``.
 
     Creates calib/poses/groundtruths/keypoint-bins so the real
@@ -137,6 +137,17 @@ def write_synthetic_kitti(root: str, seqs=(0, 9, 10), frames_per_seq: int = 6,
             score = rng.uniform(10.5, 30.0, size=n_points)
             rows = pair_to_bin_rows(pts_v, score, np.abs(desc))
             rows.tofile(os.path.join(kp_dir, s, "%06d.bin" % fi))
+            if cloud_points:
+                # raw cloud for the learned-descriptor path: keypoints plus
+                # filler points, 8 channels (xyz + 5), sensor frame
+                cdir = os.path.join(root, "kitti_randomsample_16384_n8", s)
+                os.makedirs(cdir, exist_ok=True)
+                extra = rng.uniform(-40, 40,
+                                    size=(cloud_points - n_points, 3))
+                cxyz = np.concatenate([pts_v, extra])
+                cfeat = rng.normal(size=(cloud_points, 5))
+                np.concatenate([cxyz, cfeat], axis=1).astype(
+                    np.float32).tofile(os.path.join(cdir, "%06d.bin" % fi))
             frames.append(fi)
 
         with open(os.path.join(root, "poses", "%02d.txt" % seq), "w") as f:

@@ -104,6 +104,24 @@ def test_native_batches_match_python_batches(kitti_root, ensure):
         np.testing.assert_array_equal(b_native[k], b_python[k], err_msg=k)
 
 
+def test_pointnet_cloud_path(tmp_path):
+    root = str(tmp_path)
+    kp_dir = write_synthetic_kitti(root, seqs=(10,), frames_per_seq=3,
+                                   pairs_per_seq=2, n_points=64, seed=2,
+                                   cloud_points=256)
+    cfg = test_defaults(train_path=root, keypoints_path=kp_dir,
+                        txt_path=f"{root}/preprocess-random-full",
+                        descriptor="pointnet", max_keypoints=64,
+                        ensure_kpts_num=True, memory_is_enough=True)
+    ds = SparseDataset(cfg, "test")
+    pair = ds.get_pair(0)
+    assert pair["cloud0"].shape == (256, 8)
+    batch = next(ds.batches(batch_size=2))
+    prep = prepare_batch_fn(cfg.threshold, False, "float64", "float64")
+    out = prep(batch)
+    assert out["cloud0"].shape == (2, 256, 8)
+
+
 def test_synthetic_pair_has_overlap():
     rng = np.random.default_rng(0)
     p = make_synthetic_pair(rng, n_points=100, overlap=0.6)
