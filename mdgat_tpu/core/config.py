@@ -64,7 +64,9 @@ class Config:
     param_dtype: str = "float32"
     data_parallel: int = 1          # mesh size along the batch axis
     seq_parallel: int = 1           # mesh size along the keypoint axis (stretch)
-    use_pallas: bool = True         # fused kernels where available
+    use_pallas: bool = True         # fused Sinkhorn kernel (eval path)
+    pallas_attention: bool = False  # fused attention kernel (off: XLA's
+                                    # batched einsum fusion wins at N=256)
     donate_state: bool = True
     seed: int = 0
 

@@ -56,7 +56,14 @@ def _round_up(n: int, m: int) -> int:
 
 def duplicate_pad(kp, score, desc, target: int):
     """Reference pad: repeatedly prepend the first (target-len) rows
-    (``load_data.py:197-211``)."""
+    (``load_data.py:197-211``). Zero keypoints would loop forever in the
+    reference; here it zero-fills (callers emit an all-false mask — the
+    model's no-keypoint early-out contract, ``models/mdgat.py:374-382``)."""
+    if len(kp) == 0:
+        return (np.zeros((target, 3), kp.dtype if hasattr(kp, 'dtype')
+                         else np.float32),
+                np.zeros((target,), np.float32),
+                np.zeros((target, 33), np.float32))
     while target > len(kp):
         take = target - len(kp)
         kp = np.vstack([kp[:take], kp])
@@ -109,11 +116,12 @@ class SparseDataset:
             valid = score > cfg.score_min          # load_data.py:183
             kp, score, desc = kp[valid], score[valid], desc[valid]
             n = cfg.max_keypoints
+            n_valid = n if len(kp) > 0 else 0      # empty -> skip_train (N8)
             if n < len(kp):
                 kp, score, desc = kp[:n], score[:n], desc[:n]
             else:
                 kp, score, desc = duplicate_pad(kp, score, desc, n)
-            return kp, score, desc, n
+            return kp, score, desc, n_valid
         n = len(kp)
         tgt = pad_to if pad_to is not None else _round_up(max(n, 1), 128)
         out_kp = np.zeros((tgt, 3), kp.dtype)

@@ -145,8 +145,9 @@ class MDGAT:
 
         # Pallas fused kernels: forward-only (no VJP), so eval path only;
         # CPU lacks the Mosaic backend — fall back to the XLA versions.
-        use_pallas = (cfg.use_pallas and not train
-                      and jax.default_backend() != "cpu")
+        on_accel = not train and jax.default_backend() != "cpu"
+        use_pallas = cfg.use_pallas and on_accel
+        pallas_attn = cfg.pallas_attention and on_accel
 
         if run_gnn:
             n = desc0.shape[1]
@@ -154,7 +155,7 @@ class MDGAT:
             desc0, desc1, st_gnn = gnn_apply(
                 params["gnn"], state["gnn"], desc0, desc1,
                 cfg.gnn_layer_names, k_sched, cfg.num_heads, train,
-                mask0, mask1, use_pallas=use_pallas)
+                mask0, mask1, use_pallas=pallas_attn)
             new_state["gnn"] = st_gnn
             mdesc0 = conv1x1_apply(params["final_proj"], desc0)
             mdesc1 = conv1x1_apply(params["final_proj"], desc1)

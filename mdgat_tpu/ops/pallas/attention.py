@@ -30,46 +30,49 @@ _BISECT_ITERS = 30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
-                 scale: float):
-    q = q_ref[0, 0]                        # [N, D]
-    k = k_ref[0, 0]                        # [M, D]
-    v = v_ref[0, 0]                        # [M, D]
+                 scale: float, num_heads: int):
     kv_mask = mask_ref[0]                  # [1, M] float 0/1
-    dt = q.dtype
-
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=dt) * scale   # [N, M]
+    dt = q_ref.dtype
     neg = jnp.asarray(BIG_NEG, dt)
     valid = kv_mask > 0.5                  # [1, M] broadcasts over rows
-    s = jnp.where(valid, s, neg)
 
-    if topk > 0:
-        big = jnp.asarray(-BIG_NEG, dt)
-        lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
-        hi = jnp.max(s, axis=1, keepdims=True)
+    # unrolled head loop: one program per batch element keeps the grid
+    # small (per-program dispatch overhead amortized over all heads)
+    for h in range(num_heads):
+        q = q_ref[0, h]                    # [N, D]
+        k = k_ref[0, h]                    # [M, D]
+        v = v_ref[0, h]                    # [M, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dt) * scale  # [N, M]
+        s = jnp.where(valid, s, neg)
 
-        def bisect(_, carry):
-            lo, hi = carry
-            mid = (lo + hi) * 0.5
-            cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
-            take = cnt >= topk
-            lo = jnp.where(take, mid, lo)
-            hi = jnp.where(take, hi, mid)
-            return lo, hi
+        if topk > 0:
+            big = jnp.asarray(-BIG_NEG, dt)
+            lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
+            hi = jnp.max(s, axis=1, keepdims=True)
 
-        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
-        keep = s >= lo
-    else:
-        keep = valid & jnp.ones_like(s, bool)
+            def bisect(_, carry):
+                lo, hi = carry
+                mid = (lo + hi) * 0.5
+                cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
+                take = cnt >= topk
+                lo = jnp.where(take, mid, lo)
+                hi = jnp.where(take, hi, mid)
+                return lo, hi
 
-    s_m = jnp.where(keep, s, neg)
-    m = jnp.max(s_m, axis=1, keepdims=True)
-    e = jnp.exp(s_m - m) * keep.astype(dt)
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                        jnp.asarray(1e-38, dt))
-    prob = e / denom
-    o_ref[0, 0] = jax.lax.dot_general(prob, v, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=dt)
+            lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
+            keep = s >= lo
+        else:
+            keep = valid & jnp.ones_like(s, bool)
+
+        s_m = jnp.where(keep, s, neg)
+        m = jnp.max(s_m, axis=1, keepdims=True)
+        e = jnp.exp(s_m - m) * keep.astype(dt)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                            jnp.asarray(1e-38, dt))
+        prob = e / denom
+        o_ref[0, h] = jax.lax.dot_general(prob, v, (((1,), (0,)), ((), ())),
+                                          preferred_element_type=dt)
 
 
 def pallas_topk_attention(q, k, v, topk: Optional[int],
@@ -88,21 +91,22 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         maskf = kv_mask.astype(dt)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
-    kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale)
+    kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
+                             num_heads=h)
     out = pl.pallas_call(
         kern,
-        grid=(b, h),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, d), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, n, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), dt),
         interpret=interpret,

@@ -139,6 +139,58 @@ def set_abstraction_all_apply(params, state, xyz, features, train: bool):
     return grouped_mlp_apply(params, state, h, train)
 
 
+def set_abstraction_msg_apply(params, state, xyz, features,
+                              npoint: int, radius_list: Sequence[float],
+                              nsample_list: Sequence[int], train: bool,
+                              fps_start=None):
+    """PointNetSetAbstractionMsg (``pointnet_util.py:224-282``): FPS
+    centroids + multi-scale ball grouping, per-scale conv stacks, max-pool,
+    scale concat. Returns (centers [B,S,3], feats [B,S,sum(D'_i)], state).
+
+    Grouped feature order here is [rel_xyz, features] — note the reference
+    *Kpts*-MSG variant uses the reverse order (see set_kpts_msg_apply)."""
+    fps_idx = farthest_point_sample(xyz, npoint, fps_start)
+    centers = jnp.take_along_axis(xyz, fps_idx[..., None], axis=1)
+    outs, new_state = [], []
+    for i, radius in enumerate(radius_list):
+        idx = ball_query(xyz, centers, radius, nsample_list[i])
+        gx = gather_zero_sentinel(xyz, idx) - centers[:, :, None, :]
+        if features is not None:
+            gf = gather_zero_sentinel(features, idx)
+            grouped = jnp.concatenate([gx, gf], axis=-1)
+        else:
+            grouped = gx
+        h, st = grouped_mlp_apply(params[i], state[i], grouped, train)
+        outs.append(jnp.max(h, axis=2))
+        new_state.append(st)
+    return centers, jnp.concatenate(outs, axis=-1), new_state
+
+
+def feature_propagation_apply(params, state, xyz1, xyz2, points1, points2,
+                              train: bool):
+    """PointNetFeaturePropagation (``pointnet_util.py:349-399``): inverse-
+    distance weighted 3-NN interpolation of points2 (at xyz2) onto xyz1,
+    optional skip-concat with points1, then a conv1x1+BN+ReLU stack.
+
+    xyz1 [B,N,3]; xyz2 [B,S,3]; points1 [B,N,D1] or None; points2 [B,S,D2].
+    """
+    b, n, _ = xyz1.shape
+    s = xyz2.shape[1]
+    if s == 1:
+        interp = jnp.broadcast_to(points2, (b, n, points2.shape[-1]))
+    else:
+        d2 = pairwise_dist2(xyz1, xyz2)                       # [B, N, S]
+        negd, idx = jax.lax.top_k(-d2, 3)                     # 3 nearest
+        recip = 1.0 / (-negd + 1e-8)
+        w = recip / jnp.sum(recip, axis=-1, keepdims=True)    # [B, N, 3]
+        gathered = gather_zero_sentinel(points2, idx)         # [B, N, 3, D2]
+        interp = jnp.sum(gathered * w[..., None], axis=2)
+    h = interp if points1 is None else \
+        jnp.concatenate([points1, interp], axis=-1)
+    from mdgat_tpu.ops.mlp import mlp_apply
+    return mlp_apply(params, state, h, train, relu_on_last=True)
+
+
 def sample_and_group_apply(params, state, xyz, features, npoint: int,
                            radius: float, nsample: int, train: bool,
                            fps_start=None):

@@ -76,6 +76,34 @@ def test_fps_deterministic_and_spread():
         np.testing.assert_array_equal(idx[b], sel)
 
 
+def test_set_abstraction_msg_and_feature_propagation():
+    from mdgat_tpu.ops.pointnet import (set_abstraction_msg_apply,
+                                        feature_propagation_apply)
+    from mdgat_tpu.ops.mlp import mlp_init, mlp_state_init
+    key = jax.random.PRNGKey(0)
+    xyz = jnp.asarray(RNG.normal(size=(2, 64, 3)) * 3)
+    feats = jnp.asarray(RNG.normal(size=(2, 64, 6)))
+    ps, ss = [], []
+    for i, mlp in enumerate([(16, 24), (16, 32)]):
+        ch = [6 + 3] + list(mlp)
+        ps.append(mlp_init(jax.random.fold_in(key, i), ch,
+                           dtype=jnp.float64, bn_on_last=True))
+        ss.append(mlp_state_init(ch, dtype=jnp.float64, bn_on_last=True))
+    centers, out, _ = set_abstraction_msg_apply(
+        ps, ss, xyz, feats, 16, [1.0, 2.0], [8, 16], train=True)
+    assert centers.shape == (2, 16, 3)
+    assert out.shape == (2, 16, 24 + 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    fp_ch = [6 + 56, 32]
+    fp_p = mlp_init(key, fp_ch, dtype=jnp.float64, bn_on_last=True)
+    fp_s = mlp_state_init(fp_ch, dtype=jnp.float64, bn_on_last=True)
+    up, _ = feature_propagation_apply(fp_p, fp_s, xyz, centers, feats, out,
+                                      train=True)
+    assert up.shape == (2, 64, 32)
+    assert np.isfinite(np.asarray(up)).all()
+
+
 @pytest.mark.parametrize("msg", [False, True])
 def test_pointnet_encoder_forward(msg):
     key = jax.random.PRNGKey(0)
