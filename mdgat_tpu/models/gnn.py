@@ -68,26 +68,98 @@ def gnn_init(key, feature_dim: int, n_layers: int, num_heads: int = 4,
     return params, states
 
 
+def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
+                 mask0, mask1, use_pallas):
+    if name == "cross":
+        src0, src1, kvm0, kvm1 = desc1, desc0, mask1, mask0
+    else:
+        src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
+    delta0, st = attentional_propagation_apply(
+        p, st, desc0, src0, k, num_heads, train, mask0, kvm0,
+        use_pallas=use_pallas)
+    delta1, st = attentional_propagation_apply(
+        p, st, desc1, src1, k, num_heads, train, mask1, kvm1,
+        use_pallas=use_pallas)
+    return desc0 + delta0, desc1 + delta1, st
+
+
+def _tree_stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _tree_index(tree, j):
+    return jax.tree.map(lambda x: x[j], tree)
+
+
 def gnn_apply(params, states, desc0, desc1,
               layer_names: Sequence[str],
               k_schedule: Sequence[Optional[int]],
               num_heads: int = 4, train=False,
-              mask0=None, mask1=None, use_pallas: bool = False):
-    """Run the full GNN stack; returns (desc0, desc1, new_states)."""
-    new_states = []
-    for i, (p, st, name) in enumerate(zip(params, states, layer_names)):
-        if name == "cross":
-            src0, src1, kvm0, kvm1 = desc1, desc0, mask1, mask0
+              mask0=None, mask1=None, use_pallas: bool = False,
+              scan_pairs: bool = True):
+    """Run the full GNN stack; returns (desc0, desc1, new_states).
+
+    ``scan_pairs``: consecutive layer *pairs* with identical
+    (name, k)-signatures run under one ``lax.scan`` over stacked params —
+    the 18-layer default compiles ~3 distinct pair bodies instead of 18
+    layers (the single-core host pays minutes per XLA compile). Numerics
+    are identical to the unrolled loop.
+    """
+    n_layers = len(params)
+    if not scan_pairs or n_layers % 2 != 0:
+        new_states = []
+        for i in range(n_layers):
+            desc0, desc1, st = _apply_layer(
+                params[i], states[i], desc0, desc1, layer_names[i],
+                k_schedule[i], num_heads, train, mask0, mask1, use_pallas)
+            new_states.append(st)
+        return desc0, desc1, new_states
+
+    # segment consecutive pairs by (nameA, kA, nameB, kB) signature
+    pairs = [(layer_names[i], k_schedule[i],
+              layer_names[i + 1], k_schedule[i + 1])
+             for i in range(0, n_layers, 2)]
+    segments = []  # (signature, start_pair, count)
+    for j, sig in enumerate(pairs):
+        if segments and segments[-1][0] == sig:
+            segments[-1] = (sig, segments[-1][1], segments[-1][2] + 1)
         else:
-            src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
-        k = k_schedule[i]
-        delta0, st = attentional_propagation_apply(
-            p, st, desc0, src0, k, num_heads, train, mask0, kvm0,
-            use_pallas=use_pallas)
-        delta1, st = attentional_propagation_apply(
-            p, st, desc1, src1, k, num_heads, train, mask1, kvm1,
-            use_pallas=use_pallas)
-        desc0 = desc0 + delta0
-        desc1 = desc1 + delta1
-        new_states.append(st)
+            segments.append((sig, j, 1))
+
+    new_states: List = [None] * n_layers
+    for sig, start, count in segments:
+        nameA, kA, nameB, kB = sig
+        li = 2 * start
+
+        def pair_step(d0, d1, pA, sA, pB, sB):
+            d0, d1, sA2 = _apply_layer(pA, sA, d0, d1, nameA, kA,
+                                       num_heads, train, mask0, mask1,
+                                       use_pallas)
+            d0, d1, sB2 = _apply_layer(pB, sB, d0, d1, nameB, kB,
+                                       num_heads, train, mask0, mask1,
+                                       use_pallas)
+            return d0, d1, sA2, sB2
+
+        if count == 1:
+            desc0, desc1, sA2, sB2 = pair_step(
+                desc0, desc1, params[li], states[li],
+                params[li + 1], states[li + 1])
+            new_states[li], new_states[li + 1] = sA2, sB2
+        else:
+            xs = (_tree_stack(params[li:li + 2 * count:2]),
+                  _tree_stack(states[li:li + 2 * count:2]),
+                  _tree_stack(params[li + 1:li + 2 * count:2]),
+                  _tree_stack(states[li + 1:li + 2 * count:2]))
+
+            def body(carry, x):
+                d0, d1 = carry
+                pA, sA, pB, sB = x
+                d0, d1, sA2, sB2 = pair_step(d0, d1, pA, sA, pB, sB)
+                return (d0, d1), (sA2, sB2)
+
+            (desc0, desc1), (ysA, ysB) = jax.lax.scan(
+                body, (desc0, desc1), xs)
+            for j in range(count):
+                new_states[li + 2 * j] = _tree_index(ysA, j)
+                new_states[li + 2 * j + 1] = _tree_index(ysB, j)
     return desc0, desc1, new_states

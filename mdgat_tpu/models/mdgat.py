@@ -162,9 +162,15 @@ class MDGAT:
         else:
             mdesc0, mdesc1 = desc0, desc1
 
-        # scaled inner-product scores (models/mdgat.py:430-431)
+        # scaled inner-product scores (models/mdgat.py:430-431).
+        # Mixed precision: the OT/decision/loss stages run in >= float32
+        # even when the GNN computes in bfloat16 — log-domain Sinkhorn in
+        # bf16 loses the transport numerics.
+        ot_dtype = jnp.float32 if mdesc0.dtype == jnp.bfloat16 \
+            else mdesc0.dtype
         scores = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1,
-                            preferred_element_type=mdesc0.dtype)
+                            preferred_element_type=ot_dtype)
+        scores = scores.astype(ot_dtype)
         scores = scores / jnp.asarray(cfg.descriptor_dim, scores.dtype) ** 0.5
 
         if use_pallas:
