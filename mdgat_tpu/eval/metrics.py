@@ -87,14 +87,30 @@ def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
     }
 
 
+def np_kabsch(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Host-side one-step SVD fit T: P -> Q (``solve_icp``,
+    ``utils/utils_test.py:73-110``; no det-reflection fix, like the
+    reference). Kept in numpy: a 3x3 SVD per pair is host-trivial and a
+    device round trip would dominate eval latency."""
+    up, uq = P.mean(axis=0), Q.mean(axis=0)
+    U, _, Vh = np.linalg.svd((Q - uq).T @ (P - up))
+    R = U @ Vh
+    t = uq - R @ up
+    T = np.zeros((4, 4))
+    T[:3, :3] = R
+    T[:3, 3] = t
+    T[3, 3] = 1.0
+    return T
+
+
 def pose_metrics(mkpts0: np.ndarray, mkpts1: np.ndarray, T_gt: np.ndarray,
                  inlier_radius: float = 1.0,
                  clamp_arccos: bool = False) -> Dict:
     """SVD pose fit + errors (``calculate_error``,
     ``utils/utils_test.py:41-71``). mkpts are the matched keypoint
     coordinates; T = fit(mkpts1 -> mkpts0)."""
-    import jax.numpy as jnp
-    T = np.asarray(kabsch(jnp.asarray(mkpts1), jnp.asarray(mkpts0)))
+    T = np_kabsch(np.asarray(mkpts1, np.float64),
+                  np.asarray(mkpts0, np.float64))
     moved = mkpts1 @ T[:3, :3].T + T[:3, 3]
     d = np.linalg.norm(moved - mkpts0, axis=-1)
     inlier = int((d < inlier_radius).sum())

@@ -124,6 +124,29 @@ def test_padding_invariance_eval():
                                np.asarray(out_ref["loss"]), rtol=1e-6)
 
 
+def test_gnn_scan_equals_unrolled():
+    """Layer-pair scan segmentation must be numerically identical."""
+    from mdgat_tpu.models.gnn import gnn_apply, gnn_init
+    key = jax.random.PRNGKey(7)
+    params, states = gnn_init(key, 32, 8, 4, jnp.float64)
+    names = ["self", "cross"] * 4
+    ks = [None, None, None, None, 8, None, 4, None]
+    rng = np.random.default_rng(0)
+    d0 = jnp.asarray(rng.normal(size=(2, 24, 32)))
+    d1 = jnp.asarray(rng.normal(size=(2, 24, 32)))
+    a0, a1, sa = gnn_apply(params, states, d0, d1, names, ks,
+                           train=True, scan_pairs=False)
+    b0, b1, sb = gnn_apply(params, states, d0, d1, names, ks,
+                           train=True, scan_pairs=True)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(b0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), rtol=1e-12)
+    fa = jax.tree.leaves(sa)
+    fb = jax.tree.leaves(sb)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
+
+
 def test_gradients_flow():
     cfg = tiny_cfg()
     model = MDGAT(cfg)
