@@ -36,11 +36,13 @@ def _scores(q, k):
     """Scaled attention scores [B, H, N, M]; scale = sqrt(head_dim).
 
     Matches ``models/mdgat.py:192``: ``einsum('bdhn,bdhm->bhnm') / d**0.5``.
+    Accumulates in >= float32 (bf16 inputs keep f32 scores for the
+    softmax; the PV matmul downcasts prob back to the compute dtype).
     """
     d = q.shape[-1]
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                   preferred_element_type=q.dtype)
-    return s / jnp.asarray(d, q.dtype) ** 0.5
+    acc = jnp.float32 if q.dtype == jnp.bfloat16 else q.dtype
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=acc)
+    return s.astype(acc) / jnp.asarray(d, acc) ** 0.5
 
 
 BIG_NEG = -1e30  # -inf stand-in; exp()s to 0, safe in f32 and f64
@@ -70,8 +72,9 @@ def full_attention(q, k, v, kv_mask: Optional[jnp.ndarray] = None,
         prob = _masked_softmax(s, jnp.broadcast_to(mask, s.shape))
     else:
         prob = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", prob, v,
-                     preferred_element_type=q.dtype)
+    acc = jnp.float32 if v.dtype == jnp.bfloat16 else v.dtype
+    out = jnp.einsum("bhnm,bhmd->bhnd", prob.astype(v.dtype), v,
+                     preferred_element_type=acc).astype(v.dtype)
     if return_prob:
         return out, prob
     return out
@@ -105,8 +108,9 @@ def topk_attention(q, k, v, topk: int, kv_mask: Optional[jnp.ndarray] = None,
         mask = s >= kth
         prob = _masked_softmax(s, mask)
 
-    out = jnp.einsum("bhnm,bhmd->bhnd", prob, v,
-                     preferred_element_type=q.dtype)
+    acc = jnp.float32 if v.dtype == jnp.bfloat16 else v.dtype
+    out = jnp.einsum("bhnm,bhmd->bhnd", prob.astype(v.dtype), v,
+                     preferred_element_type=acc).astype(v.dtype)
     if return_prob:
         return out, prob
     return out

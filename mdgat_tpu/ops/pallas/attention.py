@@ -32,9 +32,10 @@ _BISECT_ITERS = 30
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
                  scale: float, num_heads: int):
     kv_mask = mask_ref[0]                  # [1, M] float 0/1
-    dt = q_ref.dtype
+    out_dt = q_ref.dtype
+    dt = jnp.float32                       # scores/softmax accumulate in f32
     neg = jnp.asarray(BIG_NEG, dt)
-    valid = kv_mask > 0.5                  # [1, M] broadcasts over rows
+    valid = (kv_mask > 0.5).astype(jnp.float32) > 0.5  # [1, M] bool
 
     # unrolled head loop: one program per batch element keeps the grid
     # small (per-program dispatch overhead amortized over all heads)
@@ -43,8 +44,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
         k = k_ref[0, h]                    # [M, D]
         v = v_ref[0, h]                    # [M, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=dt) * scale  # [N, M]
-        s = jnp.where(valid, s, neg)
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(valid, s, neg)       # [N, M] f32
 
         if topk > 0:
             big = jnp.asarray(-BIG_NEG, dt)
@@ -70,9 +71,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
         e = jnp.exp(s_m - m) * keep.astype(dt)
         denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                             jnp.asarray(1e-38, dt))
-        prob = e / denom
-        o_ref[0, h] = jax.lax.dot_general(prob, v, (((1,), (0,)), ((), ())),
-                                          preferred_element_type=dt)
+        prob = (e / denom).astype(out_dt)
+        o_ref[0, h] = jax.lax.dot_general(
+            prob, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(out_dt)
 
 
 def pallas_topk_attention(q, k, v, topk: Optional[int],

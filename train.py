@@ -89,7 +89,7 @@ def main():
 
     for epoch in range(start_epoch, cfg.epoch + 1):
         t_epoch = time.time()
-        epoch_loss, n_steps = 0.0, 0
+        step_losses, n_steps = [], 0
         for batch in train_set.batches(cfg.batch_size, shuffle=True,
                                        seed=cfg.seed + epoch):
             with timer("prepare"):
@@ -97,12 +97,15 @@ def main():
                 sharded = shard_batch(model_inputs(prepared), mesh,
                                       shard_seq=cfg.seq_parallel > 1)
             with timer("train_step"):
+                # async dispatch: losses stay on device until epoch end so
+                # the host never blocks on a per-step readback
                 state, metrics = train_step(state, sharded)
-            epoch_loss += float(metrics["loss"])
+            step_losses.append(metrics["loss"])
             n_steps += 1
             if args.steps_per_epoch and n_steps >= args.steps_per_epoch:
                 break
-        epoch_loss /= max(n_steps, 1)
+        epoch_loss = float(np.mean([np.asarray(l) for l in step_losses])) \
+            if step_losses else 0.0
 
         # validation (reference: every epoch on seq 9, train.py:263-285)
         val_losses = []
@@ -111,11 +114,12 @@ def main():
             sharded = shard_batch(model_inputs(prepared), mesh,
                                   shard_seq=cfg.seq_parallel > 1)
             out = eval_step(state.params, state.bn_state, sharded)
-            val_losses.append(float(jnp.mean(out["loss"])))
+            val_losses.append(jnp.mean(out["loss"]))
             if args.steps_per_epoch and len(val_losses) >= max(
                     1, args.steps_per_epoch // 4):
                 break
-        mean_val_loss = float(np.mean(val_losses)) if val_losses else np.inf
+        mean_val_loss = float(np.mean([np.asarray(l) for l in val_losses])) \
+            if val_losses else np.inf
         dt = time.time() - t_epoch
         print(f"Epoch [{epoch}/{cfg.epoch}] {dt:.1f}s | epoch_loss "
               f"{epoch_loss:.4f} | val_loss {mean_val_loss:.4f} | "
