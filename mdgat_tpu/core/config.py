@@ -65,8 +65,9 @@ class Config:
     data_parallel: int = 1          # mesh size along the batch axis
     seq_parallel: int = 1           # mesh size along the keypoint axis (stretch)
     use_pallas: bool = True         # fused Sinkhorn kernel (eval path)
-    pallas_attention: bool = False  # fused attention kernel (off: XLA's
-                                    # batched einsum fusion wins at N=256)
+    pallas_attention: bool = True   # fused attention kernel: per-head MXU
+                                    # matmuls + stacked-head bisection top-k
+                                    # (avoids XLA's sort-based TopK)
     donate_state: bool = True
     seed: int = 0
 

@@ -35,45 +35,55 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
     out_dt = q_ref.dtype
     dt = jnp.float32                       # scores/softmax accumulate in f32
     neg = jnp.asarray(BIG_NEG, dt)
-    valid = (kv_mask > 0.5).astype(jnp.float32) > 0.5  # [1, M] bool
+    valid = kv_mask > 0.5                  # [1, M] bool (f32 input)
+    n = q_ref.shape[2]
+    m = k_ref.shape[2]
 
-    # unrolled head loop: one program per batch element keeps the grid
-    # small (per-program dispatch overhead amortized over all heads)
+    # per-head MXU matmuls (heads are block-diagonal), then ALL VPU work
+    # (bisection threshold + masked softmax) on the stacked [H*N, M] score
+    # matrix — one wide vector pass instead of num_heads sequential ones.
+    # f32 internals: Mosaic's bf16 matmul/scalar paths are unreliable on
+    # this toolchain; HBM traffic stays bf16 either way.
+    rows = []
     for h in range(num_heads):
-        q = q_ref[0, h]                    # [N, D]
-        k = k_ref[0, h]                    # [M, D]
-        v = v_ref[0, h]                    # [M, D]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        s = jnp.where(valid, s, neg)       # [N, M] f32
+        q = q_ref[0, h].astype(dt)         # [N, D]
+        k = k_ref[0, h].astype(dt)         # [M, D]
+        rows.append(jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+    s = jnp.concatenate(rows, axis=0)      # [H*N, M]
+    s = jnp.where(valid, s, neg)
 
-        if topk > 0:
-            big = jnp.asarray(-BIG_NEG, dt)
-            lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
-            hi = jnp.max(s, axis=1, keepdims=True)
+    if topk > 0:
+        big = jnp.asarray(-BIG_NEG, dt)
+        lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
+        hi = jnp.max(s, axis=1, keepdims=True)
 
-            def bisect(_, carry):
-                lo, hi = carry
-                mid = (lo + hi) * 0.5
-                cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
-                take = cnt >= topk
-                lo = jnp.where(take, mid, lo)
-                hi = jnp.where(take, hi, mid)
-                return lo, hi
+        def bisect(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) * 0.5
+            cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
+            take = cnt >= topk
+            lo = jnp.where(take, mid, lo)
+            hi = jnp.where(take, hi, mid)
+            return lo, hi
 
-            lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
-            keep = s >= lo
-        else:
-            keep = valid & jnp.ones_like(s, bool)
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
+        keep = s >= lo
+    else:
+        keep = valid & jnp.ones_like(s, bool)
 
-        s_m = jnp.where(keep, s, neg)
-        m = jnp.max(s_m, axis=1, keepdims=True)
-        e = jnp.exp(s_m - m) * keep.astype(dt)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                            jnp.asarray(1e-38, dt))
-        prob = (e / denom).astype(out_dt)
+    s_m = jnp.where(keep, s, neg)
+    mx = jnp.max(s_m, axis=1, keepdims=True)
+    e = jnp.exp(s_m - mx) * keep.astype(dt)
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                        jnp.asarray(1e-38, dt))
+    prob = e / denom                       # [H*N, M]
+    for h in range(num_heads):
+        v = v_ref[0, h].astype(dt)         # [M, D]
+        p_h = prob[h * n:(h + 1) * n]
         o_ref[0, h] = jax.lax.dot_general(
-            prob, v, (((1,), (0,)), ((), ())),
+            p_h, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(out_dt)
 
 
@@ -88,9 +98,9 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
     m = k.shape[2]
     dt = q.dtype
     if kv_mask is None:
-        maskf = jnp.ones((b, 1, m), dt)
+        maskf = jnp.ones((b, 1, m), jnp.float32)
     else:
-        maskf = kv_mask.astype(dt)[:, None, :]
+        maskf = kv_mask.astype(jnp.float32)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
