@@ -26,32 +26,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG_NEG = -1e30
-_BISECT_ITERS = 30
+_BISECT_ITERS = 20
+_BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
-                 scale: float, num_heads: int):
-    kv_mask = mask_ref[0]                  # [1, M] float 0/1
+                 scale: float, num_heads: int, block_b: int):
     out_dt = q_ref.dtype
     dt = jnp.float32                       # scores/softmax accumulate in f32
     neg = jnp.asarray(BIG_NEG, dt)
-    valid = kv_mask > 0.5                  # [1, M] bool (f32 input)
     n = q_ref.shape[2]
     m = k_ref.shape[2]
 
-    # per-head MXU matmuls (heads are block-diagonal), then ALL VPU work
-    # (bisection threshold + masked softmax) on the stacked [H*N, M] score
-    # matrix — one wide vector pass instead of num_heads sequential ones.
-    # f32 internals: Mosaic's bf16 matmul/scalar paths are unreliable on
-    # this toolchain; HBM traffic stays bf16 either way.
+    # per-(batch, head) MXU matmuls (block-diagonal), then ALL VPU work
+    # (bisection threshold + masked softmax) on the stacked
+    # [block_b*H*N, M] score matrix — one wide vector pass instead of
+    # block_b*num_heads sequential ones. f32 internals: Mosaic's bf16
+    # matmul/scalar paths are unreliable on this toolchain; HBM traffic
+    # stays bf16 either way.
     rows = []
-    for h in range(num_heads):
-        q = q_ref[0, h].astype(dt)         # [N, D]
-        k = k_ref[0, h].astype(dt)         # [M, D]
-        rows.append(jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale)
-    s = jnp.concatenate(rows, axis=0)      # [H*N, M]
+    masks = []
+    for b in range(block_b):
+        kv_mask = mask_ref[b] > 0.5        # [1, M] bool (f32 input)
+        for h in range(num_heads):
+            q = q_ref[b, h].astype(dt)     # [N, D]
+            k = k_ref[b, h].astype(dt)     # [M, D]
+            rows.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+            masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+    s = jnp.concatenate(rows, axis=0)      # [B*H*N, M]
+    valid = jnp.concatenate(masks, axis=0)
     s = jnp.where(valid, s, neg)
 
     if topk > 0:
@@ -78,13 +83,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
     e = jnp.exp(s_m - mx) * keep.astype(dt)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-38, dt))
-    prob = e / denom                       # [H*N, M]
-    for h in range(num_heads):
-        v = v_ref[0, h].astype(dt)         # [M, D]
-        p_h = prob[h * n:(h + 1) * n]
-        o_ref[0, h] = jax.lax.dot_general(
-            p_h, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(out_dt)
+    prob = e / denom                       # [B*H*N, M]
+    for b in range(block_b):
+        for h in range(num_heads):
+            v = v_ref[b, h].astype(dt)     # [M, D]
+            r0 = (b * num_heads + h) * n
+            o_ref[b, h] = jax.lax.dot_general(
+                prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(out_dt)
 
 
 def pallas_topk_attention(q, k, v, topk: Optional[int],
@@ -103,22 +109,25 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         maskf = kv_mask.astype(jnp.float32)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
+    bb = _BLOCK_B
+    while b % bb != 0:
+        bb //= 2  # fall back to a divisor of the batch
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
-                             num_heads=h)
+                             num_heads=h, block_b=bb)
     out = pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=(b // bb,),
         in_specs=[
-            pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, h, n, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, h, m, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, m, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, h, m, d), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, n, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bb, h, n, d), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), dt),
         interpret=interpret,
