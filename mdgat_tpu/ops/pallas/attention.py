@@ -109,25 +109,36 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         maskf = kv_mask.astype(jnp.float32)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
-    bb = _BLOCK_B
+    # VMEM budget: the stacked f32 score matrix (bb*hh*N*M) plus q/k/v/out
+    # must fit in ~12 MB. Shrink the per-program batch, then split heads,
+    # for large N*M (the 1024-keypoint stretch config runs one head per
+    # program).
+    budget = 12 * 1024 * 1024
+    bb, hh = _BLOCK_B, h
+    while bb > 1 and bb * hh * n * m * 4 > budget:
+        bb //= 2
+    while hh > 1 and bb * hh * n * m * 4 > budget:
+        hh //= 2
     while b % bb != 0:
         bb //= 2  # fall back to a divisor of the batch
+    while h % hh != 0:
+        hh //= 2
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
-                             num_heads=h, block_b=bb)
+                             num_heads=hh, block_b=bb)
     out = pl.pallas_call(
         kern,
-        grid=(b // bb,),
+        grid=(b // bb, h // hh),
         in_specs=[
-            pl.BlockSpec((bb, h, n, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, hh, n, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, h, m, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, hh, m, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, h, m, d), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, hh, m, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, m), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, h, n, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bb, hh, n, d), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, n, d), dt),
         interpret=interpret,
