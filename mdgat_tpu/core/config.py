@@ -69,6 +69,7 @@ class Config:
                                     # matmuls + stacked-head bisection top-k
                                     # (avoids XLA's sort-based TopK)
     donate_state: bool = True
+    remat_gnn: bool = True          # checkpoint GNN layers in training
     seed: int = 0
 
     # ------------------------------------------------------------------

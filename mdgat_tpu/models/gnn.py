@@ -96,7 +96,7 @@ def gnn_apply(params, states, desc0, desc1,
               k_schedule: Sequence[Optional[int]],
               num_heads: int = 4, train=False,
               mask0=None, mask1=None, use_pallas: bool = False,
-              scan_pairs: bool = True):
+              scan_pairs: bool = True, remat: bool = False):
     """Run the full GNN stack; returns (desc0, desc1, new_states).
 
     ``scan_pairs``: consecutive layer *pairs* with identical
@@ -104,12 +104,22 @@ def gnn_apply(params, states, desc0, desc1,
     the 18-layer default compiles ~3 distinct pair bodies instead of 18
     layers (the single-core host pays minutes per XLA compile). Numerics
     are identical to the unrolled loop.
+
+    ``remat``: checkpoint each layer pair — the backward pass recomputes
+    attention instead of storing 2L dense [B,H,N,M] probability matrices
+    (~10 GB at the reference train config of batch 64 / N 512, which
+    overflows a 16 GB chip; the reference spread this over 4 GPUs via
+    DataParallel).
     """
     n_layers = len(params)
     if not scan_pairs or n_layers % 2 != 0:
         new_states = []
         for i in range(n_layers):
-            desc0, desc1, st = _apply_layer(
+            fn = _apply_layer
+            if remat:
+                fn = jax.checkpoint(_apply_layer,
+                                    static_argnums=(4, 5, 6, 7, 10))
+            desc0, desc1, st = fn(
                 params[i], states[i], desc0, desc1, layer_names[i],
                 k_schedule[i], num_heads, train, mask0, mask1, use_pallas)
             new_states.append(st)
@@ -139,6 +149,9 @@ def gnn_apply(params, states, desc0, desc1,
                                        num_heads, train, mask0, mask1,
                                        use_pallas)
             return d0, d1, sA2, sB2
+
+        if remat:
+            pair_step = jax.checkpoint(pair_step)
 
         if count == 1:
             desc0, desc1, sA2, sB2 = pair_step(

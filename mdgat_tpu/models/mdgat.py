@@ -155,7 +155,8 @@ class MDGAT:
             desc0, desc1, st_gnn = gnn_apply(
                 params["gnn"], state["gnn"], desc0, desc1,
                 cfg.gnn_layer_names, k_sched, cfg.num_heads, train,
-                mask0, mask1, use_pallas=pallas_attn)
+                mask0, mask1, use_pallas=pallas_attn,
+                remat=cfg.remat_gnn and train)
             new_state["gnn"] = st_gnn
             mdesc0 = conv1x1_apply(params["final_proj"], desc0)
             mdesc1 = conv1x1_apply(params["final_proj"], desc1)
