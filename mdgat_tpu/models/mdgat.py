@@ -143,10 +143,12 @@ class MDGAT:
                 desc0 = jax.lax.stop_gradient(desc0)
                 desc1 = jax.lax.stop_gradient(desc1)
 
-        # Pallas fused kernels: forward-only (no VJP), so eval path only;
-        # CPU lacks the Mosaic backend — fall back to the XLA versions.
-        on_accel = not train and jax.default_backend() != "cpu"
-        use_pallas = cfg.use_pallas and on_accel
+        # Pallas fused kernels. Attention has a custom VJP (sort-free
+        # backward) so it serves training too; the Sinkhorn kernel is
+        # forward-only (training keeps the differentiable XLA scan). CPU
+        # lacks the Mosaic backend — fall back to the XLA versions.
+        on_accel = jax.default_backend() != "cpu"
+        use_pallas = cfg.use_pallas and on_accel and not train
         pallas_attn = cfg.pallas_attention and on_accel
 
         if run_gnn:

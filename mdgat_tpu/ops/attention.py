@@ -155,8 +155,8 @@ def multi_head_attention(proj_params, x, source, topk: Optional[int],
     k = split_heads(conv1x1_apply(proj_params["k"], source), num_heads)
     v = split_heads(conv1x1_apply(proj_params["v"], source), num_heads)
     if use_pallas:
-        from mdgat_tpu.ops.pallas import pallas_topk_attention
-        o = pallas_topk_attention(q, k, v, topk, kv_mask=kv_mask)
+        from mdgat_tpu.ops.pallas.attention import fused_topk_attention
+        o = fused_topk_attention(q, k, v, topk, kv_mask)
     elif topk is None:
         o = full_attention(q, k, v, kv_mask=kv_mask)
     else:

@@ -30,7 +30,7 @@ _BISECT_ITERS = 20
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
                  scale: float, num_heads: int, block_b: int):
     out_dt = q_ref.dtype
     dt = jnp.float32                       # scores/softmax accumulate in f32
@@ -75,8 +75,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
 
         lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi))
         keep = s >= lo
+        thr = lo                           # [B*H*N, 1]
     else:
         keep = valid & jnp.ones_like(s, bool)
+        thr = jnp.full((s.shape[0], 1), neg, dt)
 
     s_m = jnp.where(keep, s, neg)
     mx = jnp.max(s_m, axis=1, keepdims=True)
@@ -91,14 +93,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, topk: int,
             o_ref[b, h] = jax.lax.dot_general(
                 prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_dt)
+            t_ref[b, h] = thr[r0:r0 + n]   # [N, 1] per-row k-th value
 
 
 def pallas_topk_attention(q, k, v, topk: Optional[int],
                           kv_mask: Optional[jnp.ndarray] = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          return_threshold: bool = False):
     """Fused (top-k or dense) attention; q,k,v [B,H,N,D] -> [B,H,N,D].
 
     ``topk=None`` runs the dense masked softmax in the same fused kernel.
+    ``return_threshold`` also returns the per-row k-th value [B,H,N,1]
+    (f32) — the only residual the custom-VJP backward needs.
     """
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -109,15 +115,16 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         maskf = kv_mask.astype(jnp.float32)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
-    # VMEM budget: the stacked f32 score matrix (bb*hh*N*M) plus q/k/v/out
-    # must fit in ~12 MB. Shrink the per-program batch, then split heads,
-    # for large N*M (the 1024-keypoint stretch config runs one head per
-    # program).
-    budget = 12 * 1024 * 1024
+    # VMEM budget: ~3 score-matrix-sized f32 temporaries (s, keep-mask,
+    # exp) are live at once; keep 3 * bb*hh*N*M * 4B within ~13 MB of the
+    # 16 MB scoped-vmem limit. Shrink the per-program batch, then split
+    # heads, for large N*M (the 1024-keypoint stretch config runs one
+    # head per program).
+    budget = 13 * 1024 * 1024
     bb, hh = _BLOCK_B, h
-    while bb > 1 and bb * hh * n * m * 4 > budget:
+    while bb > 1 and 3 * bb * hh * n * m * 4 > budget:
         bb //= 2
-    while hh > 1 and bb * hh * n * m * 4 > budget:
+    while hh > 1 and 3 * bb * hh * n * m * 4 > budget:
         hh //= 2
     while b % bb != 0:
         bb //= 2  # fall back to a divisor of the batch
@@ -125,7 +132,7 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         hh //= 2
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
                              num_heads=hh, block_b=bb)
-    out = pl.pallas_call(
+    out, thr = pl.pallas_call(
         kern,
         grid=(b // bb, h // hh),
         in_specs=[
@@ -138,9 +145,84 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
             pl.BlockSpec((bb, 1, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, hh, n, d), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, n, d), dt),
+        out_specs=[
+            pl.BlockSpec((bb, hh, n, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, hh, n, 1), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), dt),
+            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v, maskf)
+    if return_threshold:
+        return out, thr
     return out
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: pallas forward + analytic XLA backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_topk_attention(q, k, v, topk, kv_mask):
+    """Top-k attention with the Pallas forward and a sort-free backward.
+
+    Forward: the fused kernel (scores stay in VMEM; returns the per-row
+    k-th value as the only extra residual). Backward: recompute scores in
+    XLA, mask with the saved threshold (the selection is constant w.r.t.
+    the inputs, exactly like the reference's scatter backward), and apply
+    the standard masked-softmax VJP — all MXU matmuls, no TopK sort in
+    either pass. Makes the Pallas path usable in training.
+    """
+    out, _ = _fused_fwd_impl(q, k, v, topk, kv_mask)
+    return out
+
+
+def _fused_fwd_impl(q, k, v, topk, kv_mask):
+    interp = jax.default_backend() == "cpu"  # no Mosaic on CPU
+    return pallas_topk_attention(q, k, v, topk, kv_mask=kv_mask,
+                                 return_threshold=True, interpret=interp)
+
+
+def _fused_fwd(q, k, v, topk, kv_mask):
+    out, thr = _fused_fwd_impl(q, k, v, topk, kv_mask)
+    return out, (q, k, v, thr, kv_mask)
+
+
+def _fused_bwd(topk, res, g):
+    q, k, v, thr, kv_mask = res
+    dt = jnp.float32
+    d = q.shape[-1]
+    scale = 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=dt).astype(dt) * scale
+    neg = jnp.asarray(BIG_NEG, dt)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, neg)
+    keep = s >= thr                       # thr = -1e30 for dense layers
+    if kv_mask is not None:
+        keep = keep & kv_mask[:, None, None, :]
+    s_m = jnp.where(keep, s, neg)
+    mx = jnp.max(s_m, axis=-1, keepdims=True)
+    e = jnp.exp(s_m - mx) * keep.astype(dt)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
+                        jnp.asarray(1e-38, dt))
+    gf = g.astype(dt)
+    vf = v.astype(dt)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf,
+                    preferred_element_type=dt)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf,
+                    preferred_element_type=dt)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(dt),
+                    preferred_element_type=dt) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(dt),
+                    preferred_element_type=dt) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None)
+
+
+fused_topk_attention.defvjp(_fused_fwd, _fused_bwd)

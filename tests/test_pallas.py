@@ -58,6 +58,32 @@ def test_pallas_attention_matches_xla(topk):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("topk", [None, 6])
+def test_fused_attention_gradient_parity(topk):
+    """custom-VJP backward == autodiff through the XLA masked softmax."""
+    from mdgat_tpu.ops.pallas.attention import fused_topk_attention
+    q = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(1, 2, 12, 8)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(1, 2, 12, 8)), jnp.float32)
+    g = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_topk_attention(q, k, v, topk, None) * g)
+
+    def loss_xla(q, k, v):
+        if topk is None:
+            o = full_attention(q, k, v)
+        else:
+            o = topk_attention(q, k, v, topk)
+        return jnp.sum(o * g)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_attention_masked():
     q = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
     k = jnp.asarray(RNG.normal(size=(1, 2, 24, 8)), jnp.float32)
