@@ -30,7 +30,12 @@ def main():
 
     cfg = maybe_generate_synthetic(cfg, args)
     model = build_model(cfg)
-    if cfg.resume_model.endswith(".pth"):
+    import os
+    if not os.path.exists(cfg.resume_model):
+        print(f"[warn] checkpoint not found ({cfg.resume_model}); using "
+              "random init — metrics will be near-chance")
+        params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
+    elif cfg.resume_model.endswith(".pth"):
         params, bn_state, _ = load_pth_checkpoint(
             cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
     elif cfg.resume_model.endswith(".npz"):
@@ -59,16 +64,17 @@ def main():
                                   drop_last=False):
         prepared = prepare(batch)
         out = jax.device_get(eval_step(params, bn_state, model_inputs(prepared)))
-        prepared = jax.device_get(prepared)
+        gt_host = jax.device_get({"gt_matches0": prepared["gt_matches0"],
+                                  "gt_matches1": prepared["gt_matches1"]})
 
         for b in range(len(batch["idx0"])):
             n_pairs += 1
-            mask = np.asarray(prepared["mask0"][b])
-            mask1 = np.asarray(prepared["mask1"][b])
-            kpts0 = np.asarray(prepared["keypoints0"][b])[mask]
-            kpts1 = np.asarray(prepared["keypoints1"][b])[mask1]
+            mask = np.asarray(batch["mask0"][b])
+            mask1 = np.asarray(batch["mask1"][b])
+            kpts0 = np.asarray(batch["keypoints0"][b])[mask]
+            kpts1 = np.asarray(batch["keypoints1"][b])[mask1]
             matches = np.asarray(out["matches0"][b])[mask]
-            gt0 = np.asarray(prepared["gt_matches0"][b])[mask]
+            gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
             idx = batch["idx0"][b]
 
             mm = matching_metrics(matches, gt0)
