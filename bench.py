@@ -70,6 +70,22 @@ def bench_tpu():
     pairs_per_sec = BATCH / per_step
     log(f"tpu: {per_step * 1e3:.2f} ms/step (rtt {rtt * 1e3:.1f} ms) "
         f"-> {pairs_per_sec:.0f} pairs/s")
+
+    # secondary metric (BASELINE.md): Sinkhorn iterations/sec at 256 kpts
+    import jax.numpy as jnp
+    from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
+    scores = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, N_KPTS, N_KPTS)),
+        jnp.float32)
+    ot_fn = jax.jit(lambda s: pallas_log_optimal_transport(s, 1.0, 20))
+    _ = np.asarray(ot_fn(scores).corner)
+    t0 = time.time()
+    for _ in range(20):
+        ot = ot_fn(scores)
+    _ = np.asarray(ot.corner)
+    per_ot = (time.time() - t0 - rtt) / 20
+    log(f"sinkhorn: {per_ot * 1e3:.2f} ms / 20 iters x {BATCH} pairs -> "
+        f"{20 * BATCH / per_ot:.0f} pair-iters/s")
     return pairs_per_sec
 
 

@@ -92,6 +92,10 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                    help="generate a synthetic KITTI-format dataset under "
                         "--train_path if keypoints are absent (demo mode)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug_nans", type=_parse_bool, default=False,
+                   help="enable jax_debug_nans (NaN provenance; slow)")
+    p.add_argument("--trace_dir", type=str, default="",
+                   help="write a jax.profiler device trace here")
     p.add_argument("--steps_per_epoch", type=int, default=0,
                    help="0 = full epoch; >0 truncates (smoke runs)")
     p.add_argument("--max_pairs", type=int, default=0,
@@ -140,13 +144,19 @@ def config_from_args(args, preset: str) -> Config:
     return cfg
 
 
-def setup_jax(cfg: Config):
+def setup_jax(cfg: Config, args=None):
     import jax
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.jax_cache" if __import__("os").access(
                           "/root", __import__("os").W_OK) else "/tmp/.jax_cache")
+    if args is not None and getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    if args is not None and getattr(args, "trace_dir", ""):
+        jax.profiler.start_trace(args.trace_dir)
+        import atexit
+        atexit.register(jax.profiler.stop_trace)
 
 
 def maybe_generate_synthetic(cfg: Config, args) -> Config:

@@ -17,7 +17,7 @@ from mdgat_tpu.cli import (build_parser, config_from_args,
 def main():
     args = build_parser("test").parse_args()
     cfg = config_from_args(args, "test")
-    setup_jax(cfg)
+    setup_jax(cfg, args)
 
     import jax
     import jax.numpy as jnp

@@ -24,7 +24,7 @@ from mdgat_tpu.cli import (build_parser, config_from_args,
 def main():
     args = build_parser("train").parse_args()
     cfg = config_from_args(args, "train")
-    setup_jax(cfg)
+    setup_jax(cfg, args)
 
     import jax
     import jax.numpy as jnp
