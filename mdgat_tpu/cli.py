@@ -88,6 +88,7 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                    help="0 = use all devices on the data mesh axis")
     p.add_argument("--seq_parallel", type=int, default=1)
     p.add_argument("--use_pallas", type=_parse_bool, default=True)
+    p.add_argument("--pallas_attention", type=_parse_bool, default=True)
     p.add_argument("--synthetic", type=_parse_bool, default=False,
                    help="generate a synthetic KITTI-format dataset under "
                         "--train_path if keypoints are absent (demo mode)")
@@ -137,6 +138,7 @@ def config_from_args(args, preset: str) -> Config:
         data_parallel=args.data_parallel,
         seq_parallel=args.seq_parallel,
         use_pallas=args.use_pallas,
+        pallas_attention=args.pallas_attention,
         seed=args.seed,
     )
     if cfg.net == "raw":
