@@ -36,7 +36,8 @@ _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
-                 scale: float, num_heads: int, block_b: int):
+                 scale: float, num_heads: int, block_b: int,
+                 has_mask: bool):
     out_dt = q_ref.dtype
     dt = jnp.float32                       # scores/softmax accumulate in f32
     neg = jnp.asarray(BIG_NEG, dt)
@@ -59,14 +60,35 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
             rows.append(jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale)
-            masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+            if has_mask:
+                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
     s = jnp.concatenate(rows, axis=0)      # [B*H*N, M]
-    valid = jnp.concatenate(masks, axis=0)
-    s = jnp.where(valid, s, neg)
+    if has_mask:
+        valid = jnp.concatenate(masks, axis=0)
+        s = jnp.where(valid, s, neg)
+
+    if topk == 0 and not has_mask:
+        # dense, no padding: plain softmax — skip every masking pass
+        mx = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - mx)
+        prob = e / jnp.sum(e, axis=1, keepdims=True)
+        thr = jnp.full((s.shape[0], 1), neg, dt)
+        for b in range(block_b):
+            for h in range(num_heads):
+                v = v_ref[b, h].astype(dt)
+                r0 = (b * num_heads + h) * n
+                o_ref[b, h] = jax.lax.dot_general(
+                    prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(out_dt)
+                t_ref[b, h] = thr[r0:r0 + n]
+        return
 
     if topk > 0:
         big = jnp.asarray(-BIG_NEG, dt)
-        lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
+        if has_mask:
+            lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
+        else:
+            lo = jnp.min(s, axis=1, keepdims=True)
         hi = jnp.max(s, axis=1, keepdims=True)
 
         def bisect(_, carry):
@@ -85,6 +107,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
     else:
         keep = valid & jnp.ones_like(s, bool)
         thr = jnp.full((s.shape[0], 1), neg, dt)
+    del kv_mask
 
     s_m = jnp.where(keep, s, neg)
     mx = jnp.max(s_m, axis=1, keepdims=True)
@@ -137,7 +160,8 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
     while h % hh != 0:
         hh //= 2
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
-                             num_heads=hh, block_b=bb)
+                             num_heads=hh, block_b=bb,
+                             has_mask=kv_mask is not None)
     out, thr = pl.pallas_call(
         kern,
         grid=(b // bb, h // hh),
