@@ -103,6 +103,31 @@ def save_checkpoint(path: str, params, bn_state, opt_state=None,
     np.savez(path, **flat)
 
 
+def restore_opt_state(saved, template):
+    """Rebuild an optax state (nested NamedTuples) from a loaded checkpoint.
+
+    ``flat_to_tree`` reconstructs plain dicts/lists; optax states are
+    NamedTuple nodes, so we re-thread the saved leaves (whose order is the
+    template's flatten order by construction — ``tree_to_flat`` walks the
+    tree in flatten order and ``np.savez``/``np.load`` preserve key order)
+    through the template's treedef.
+
+    Note: the reference train.py does NOT restore Adam moments on resume —
+    it builds a fresh Adam at the checkpointed lr (``train.py:160,202-204``).
+    This helper exists so the saved ``optimizer`` field (``train.py:288-294``)
+    is faithfully recoverable; ``train.py --resume`` mirrors the reference
+    and does not call it.
+    """
+    leaves = jax.tree_util.tree_leaves(saved)
+    treedef = jax.tree_util.tree_structure(template)
+    if len(leaves) != treedef.num_leaves:
+        raise ValueError(
+            f"saved optimizer state has {len(leaves)} leaves, template has "
+            f"{treedef.num_leaves} — architecture/optimizer mismatch")
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(l) for l in leaves])
+
+
 def load_checkpoint(path: str):
     data = np.load(path if path.endswith(".npz") else path + ".npz",
                    allow_pickle=False)

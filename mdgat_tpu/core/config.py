@@ -75,8 +75,8 @@ class Config:
     # ------------------------------------------------------------------
     @property
     def gnn_layer_names(self) -> List[str]:
-        if self.net == "superglue":
-            return ["self", "cross"] * self.L
+        # both nets alternate self/cross for 2L layers
+        # (models/mdgat.py:335, models/superglue.py:232)
         return ["self", "cross"] * self.L
 
     def layer_k_schedule(self, num_keypoints: int) -> List[Optional[int]]:

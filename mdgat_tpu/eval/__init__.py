@@ -1,3 +1,4 @@
 from mdgat_tpu.eval.metrics import (
-    AverageMeter, matching_metrics, pose_metrics, registration_summary,
+    AverageMeter, TestEvalAccumulator, matching_metrics, pose_metrics,
+    registration_summary,
 )

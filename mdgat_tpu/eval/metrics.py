@@ -48,12 +48,25 @@ class AverageMeter:
 
 
 def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
-                     valid_mask: Optional[np.ndarray] = None) -> Dict:
+                     valid_mask: Optional[np.ndarray] = None,
+                     protocol: str = "registration") -> Dict:
     """Classification metrics for one pair.
 
-    ``matches``/``gt_matches``: [N] int, -1 = unmatched. Uses the
-    vectorized definitions of ``test_registration_metric.py:238-248``
-    (identical values to the Python-loop versions in ``test.py:277-290``).
+    ``matches``/``gt_matches``: [N] int, -1 = unmatched. The reference's
+    two eval scripts use *different* FP/TP-rate definitions; ``protocol``
+    selects which one fills ``fm``/``fp_rate``/``tp_rate``:
+
+    * ``"registration"`` (``test_registration_metric.py:238-248``):
+      ``fp = valid & (matches != gt)``, ``fp_rate = FP/(FP+TN)``,
+      ``tp_rate = TP/(TP+FN)``.
+    * ``"test"`` (``test.py:277-291``): ``fp = valid & (gt == -1)``,
+      ``fp_rate = FP / #(gt == -1)`` (nan when no gt-unmatched points, as
+      the reference's unguarded numpy division), ``tp_rate =
+      #(valid & gt > -1) / #(gt > -1)``, plus ``tp_rate2 =
+      TP / #(gt > -1)``.
+
+    Common quantities (precision/recall/accuracy/repeatability/banned)
+    are identical between the scripts and always present.
     """
     if valid_mask is not None:
         matches = matches[valid_mask]
@@ -68,23 +81,40 @@ def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
     n_tp, n_fp, n_tn, n_fn = map(int, (tp.sum(), fp.sum(), tn.sum(),
                                        fn.sum()))
     n_valid, n_gt = int(valid.sum()), int(valid_gt.sum())
-    return {
+    out = {
         "n": n,
         "n_valid": n_valid,
         "n_gt": n_gt,
         "repeatability": n_gt / n if n else 0.0,
         "precision": n_tp / n_valid if n_valid > 0 else 0.0,
-        "recall": n_tp / n_gt if n_valid > 0 else 0.0,   # test.py:283 gate
+        # test.py:283 gates recall on #valid > 0; an un-gated 0-GT pair is
+        # 0/0 = nan in the reference's numpy division
+        "recall": ((n_tp / n_gt if n_gt else float("nan"))
+                   if n_valid > 0 else 0.0),
         "accuracy": (n_tp + n_tn) / n if n else 0.0,
         "matching_score": n_tp / n if n else 0.0,
-        "fp_rate": n_fp / (n_fp + n_tn) if (n_fp + n_tn) > 0 else 0.0,
-        "tp_rate": n_tp / (n_tp + n_fn) if (n_tp + n_fn) > 0 else 0.0,
-        # test.py:289 variant: predicted-valid over GT-valid
-        "tp_rate_pred": (int((valid & valid_gt).sum()) / n_gt
-                         if n_gt > 0 else 0.0),
-        "tm": n_tp, "fm": n_fp,
+        "tm": n_tp,
         "banned": n_gt < n * 0.1,        # test.py:247-251
     }
+    if protocol == "test":
+        # test.py:279-291 — FP counts valid predictions where GT says
+        # "unmatched"; rates are normalized by GT-side counts.
+        n_fp_t = int((valid & ~valid_gt).sum())
+        n_no_gt = n - n_gt
+        out["fm"] = n_fp_t
+        out["fp_rate"] = n_fp_t / n_no_gt if n_no_gt else float("nan")
+        out["tp_rate"] = (int((valid & valid_gt).sum()) / n_gt
+                          if n_gt else float("nan"))
+        out["tp_rate2"] = n_tp / n_gt if n_gt else float("nan")
+    else:
+        # 0/0 -> nan, as the reference's unguarded numpy divisions
+        # (test_registration_metric.py:247-248)
+        out["fm"] = n_fp
+        out["fp_rate"] = (n_fp / (n_fp + n_tn) if (n_fp + n_tn) > 0
+                          else float("nan"))
+        out["tp_rate"] = (n_tp / (n_tp + n_fn) if (n_tp + n_fn) > 0
+                          else float("nan"))
+    return out
 
 
 def np_kabsch(P: np.ndarray, Q: np.ndarray) -> np.ndarray:
@@ -127,6 +157,85 @@ def pose_metrics(mkpts0: np.ndarray, mkpts1: np.ndarray, T_gt: np.ndarray,
         "trans_error": rte,
         "rot_error": rre,
     }
+
+
+class TestEvalAccumulator:
+    """The reference ``test.py`` per-pair accumulation protocol
+    (``test.py:241-342``), factored out of the entry point so a unit test
+    can drive it against a straight-line NumPy port of the reference.
+
+    Reference-exact semantics:
+
+    * repeatability is appended BEFORE the ban check (``test.py:241-251``)
+      so banned pairs count toward the mean;
+    * banned pairs increment both ``baned_data`` and ``fail``;
+    * pairs with < 4 matches increment ``fail`` and append nothing else;
+    * in pose mode the remaining metric arrays are appended only when the
+      pose fit succeeds (RTE <= 2 m, RRE <= 5, non-nan); in non-pose mode
+      they are never appended (so the aggregate line prints nan), exactly
+      like the reference (``test.py:300-319``);
+    * the final fail/ban rates divide by ``n_pairs - 1`` (the reference
+      divides by the last enumerate index, ``test.py:339-342``).
+    """
+
+    KEYS = ("precision", "accuracy", "recall", "trans_error", "rot_error",
+            "repeatability", "inlier", "inlier_ratio", "fp_rate",
+            "tp_rate", "tp_rate2", "tm", "fm")
+
+    def __init__(self):
+        self.arrays: Dict[str, list] = {k: [] for k in self.KEYS}
+        self.fail = 0
+        self.baned_data = 0
+        self.n_pairs = 0
+
+    def update_pair(self, matches: np.ndarray, gt0: np.ndarray,
+                    kpts0: np.ndarray, kpts1: np.ndarray,
+                    T_gt: Optional[np.ndarray] = None,
+                    calculate_pose: bool = True):
+        """Process one pair; returns (status, mm, pm) where status is one
+        of 'banned' | 'too_few' | 'pose_fail' | 'ok' | 'ok_nopose'."""
+        self.n_pairs += 1
+        mm = matching_metrics(matches, gt0, protocol="test")
+        self.arrays["repeatability"].append(mm["repeatability"])
+        if mm["banned"]:
+            self.baned_data += 1
+            self.fail += 1
+            return "banned", mm, None
+        valid = matches > -1
+        mkpts0 = kpts0[valid]
+        mkpts1 = kpts1[matches[valid]]
+        if len(mkpts0) < 4:                       # test.py:272-274
+            self.fail += 1
+            return "too_few", mm, None
+        if not calculate_pose:
+            return "ok_nopose", mm, None
+        pm = pose_metrics(mkpts0, mkpts1, T_gt)
+        if (pm["trans_error"] > 2 or pm["rot_error"] > 5
+                or np.isnan(pm["trans_error"]) or np.isnan(pm["rot_error"])):
+            self.fail += 1                        # test.py:296-298
+            return "pose_fail", mm, pm
+        a = self.arrays
+        a["trans_error"].append(pm["trans_error"])
+        a["rot_error"].append(pm["rot_error"])
+        a["inlier"].append(pm["inlier"])
+        a["inlier_ratio"].append(pm["inlier_ratio"])
+        a["precision"].append(mm["precision"])
+        a["accuracy"].append(mm["accuracy"])
+        a["recall"].append(mm["recall"])
+        a["fp_rate"].append(mm["fp_rate"])
+        a["tp_rate"].append(mm["tp_rate"])
+        a["tp_rate2"].append(mm["tp_rate2"])
+        a["tm"].append(mm["tm"])
+        a["fm"].append(mm["fm"])
+        return "ok", mm, pm
+
+    def summary(self) -> Dict:
+        mean = {k: (float(np.mean(v)) if v else float("nan"))
+                for k, v in self.arrays.items()}
+        denom = max(self.n_pairs - 1, 1)
+        mean["fail_rate"] = self.fail / denom
+        mean["baned_rate"] = self.baned_data / denom
+        return mean
 
 
 def registration_summary(meters: Dict[str, AverageMeter]) -> Dict:

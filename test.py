@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
     from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
-    from mdgat_tpu.eval import matching_metrics, pose_metrics
+    from mdgat_tpu.eval import TestEvalAccumulator
     from mdgat_tpu.models import build_model
     from mdgat_tpu.train import make_eval_step
 
@@ -62,13 +62,7 @@ def main():
                                else "float32")
     eval_step = make_eval_step(model)
 
-    arrays = {k: [] for k in
-              ("precision", "accuracy", "recall", "trans_error", "rot_error",
-               "repeatability", "inlier", "inlier_ratio", "fp_rate",
-               "tp_rate", "tp_rate2", "tm", "fm")}
-    fail = 0
-    baned_data = 0
-    n_pairs = 0
+    acc = TestEvalAccumulator()
     t0 = time.time()
 
     for batch in test_set.batches(cfg.batch_size, shuffle=False,
@@ -82,7 +76,6 @@ def main():
                                   "gt_matches1": prepared["gt_matches1"]})
 
         for b in range(len(batch["idx0"])):
-            n_pairs += 1
             mask = np.asarray(batch["mask0"][b])
             mask1 = np.asarray(batch["mask1"][b])
             kpts0 = np.asarray(batch["keypoints0"][b])[mask]
@@ -92,34 +85,15 @@ def main():
             gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
             idx = batch["idx0"][b]
 
-            mm = matching_metrics(matches, gt0)
-            arrays_ok = True
-            if mm["banned"]:                      # test.py:247-251
-                baned_data += 1
-                fail += 1
+            status, mm, pm = acc.update_pair(
+                matches, gt0, kpts0, kpts1, batch["T_gt"][b],
+                calculate_pose=args.calculate_pose)
+            if status == "banned":
                 continue
-            arrays["repeatability"].append(mm["repeatability"])
-
-            valid = matches > -1
-            mkpts0 = kpts0[valid]
-            mkpts1 = kpts1[matches[valid]]
-            if len(mkpts0) < 4:                   # test.py:272-274
-                fail += 1
+            if status in ("too_few", "pose_fail"):
                 print("registration fail")
                 continue
-
-            if args.calculate_pose:
-                pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
-                if (pm["trans_error"] > 2 or pm["rot_error"] > 5
-                        or np.isnan(pm["trans_error"])
-                        or np.isnan(pm["rot_error"])):
-                    fail += 1                     # test.py:296-298
-                    print("registration fail")
-                    continue
-                arrays["trans_error"].append(pm["trans_error"])
-                arrays["rot_error"].append(pm["rot_error"])
-                arrays["inlier"].append(pm["inlier"])
-                arrays["inlier_ratio"].append(pm["inlier_ratio"])
+            if status == "ok":
                 print(
                     "idx{}, inlier {}, rep {:.3f}, inlier_ratio {:.3f}, "
                     "precision {:.3f}, accuracy {:.3f}, recall {:.3f}, "
@@ -127,42 +101,34 @@ def main():
                     "rot_error {:.3f}".format(
                         idx, pm["inlier"], mm["repeatability"],
                         pm["inlier_ratio"], mm["precision"], mm["accuracy"],
-                        mm["recall"], mm["fp_rate"], mm["tp_rate_pred"],
+                        mm["recall"], mm["fp_rate"], mm["tp_rate"],
                         pm["trans_error"], pm["rot_error"]))
-            else:
+            else:  # ok_nopose — reference prints but never appends
                 print("idx{}, precision {:.3f}, accuracy {:.3f}, recall "
                       "{:.3f}, true match {}, false match {}, fp_rate "
                       "{:.3f}, tp_rate {:.3f}".format(
                           idx, mm["precision"], mm["accuracy"], mm["recall"],
                           mm["tm"], mm["fm"], mm["fp_rate"],
-                          mm["tp_rate_pred"]))
+                          mm["tp_rate"]))
 
             if args.visualize:
                 from mdgat_tpu.eval.visualize import plot_match
+                valid = matches > -1
+                mkpts0 = kpts0[valid]
+                mkpts1 = kpts1[matches[valid]]
                 tp_mask = (matches > -1) & (matches == gt0)
-                fp_mask = (matches > -1) & (matches != gt0)
+                fp_mask = (matches > -1) & (gt0 == -1)   # test.py:280
                 gt_valid = gt0 > -1
                 plot_match([], [], kpts0, kpts1, mkpts0, mkpts1,
                            kpts0[gt_valid], kpts1[gt0[gt_valid]],
                            matches, conf[valid], tp_mask, fp_mask,
                            line_radius=args.vis_line_width)
 
-            arrays["precision"].append(mm["precision"])
-            arrays["accuracy"].append(mm["accuracy"])
-            arrays["recall"].append(mm["recall"])
-            arrays["fp_rate"].append(mm["fp_rate"])
-            arrays["tp_rate"].append(mm["tp_rate_pred"])
-            arrays["tp_rate2"].append(mm["tp_rate"])
-            arrays["tm"].append(mm["tm"])
-            arrays["fm"].append(mm["fm"])
-
-        if args.max_pairs and n_pairs >= args.max_pairs:
+        if args.max_pairs and acc.n_pairs >= args.max_pairs:
             break
 
     dt = time.time() - t0
-    mean = {k: (float(np.mean(v)) if v else float("nan"))
-            for k, v in arrays.items()}
-    denom = max(n_pairs - 1, 1)
+    mean = acc.summary()
     print(
         "average repeatibility: {:.3f}, inlier_mean {:.3f}, "
         "inlier_ratio_mean {:.3f}, fail {:.6f}, precision_mean {:.3f}, "
@@ -171,13 +137,13 @@ def main():
         "tp_rate_mean2 {:.3f}, trans_error_mean {:.3f}, rot_error_mean "
         "{:.3f}".format(
             mean["repeatability"], mean["inlier"], mean["inlier_ratio"],
-            fail / denom, mean["precision"], mean["accuracy"],
+            mean["fail_rate"], mean["precision"], mean["accuracy"],
             mean["recall"], mean["tm"], mean["fm"], mean["fp_rate"],
             mean["tp_rate"], mean["tp_rate2"], mean["trans_error"],
             mean["rot_error"]))
-    print("baned_data {}".format(baned_data / denom))
-    print(f"[timing] {n_pairs} pairs in {dt:.2f}s = "
-          f"{n_pairs / dt:.1f} pairs/s")
+    print("baned_data {}".format(mean["baned_rate"]))
+    print(f"[timing] {acc.n_pairs} pairs in {dt:.2f}s = "
+          f"{acc.n_pairs / dt:.1f} pairs/s")
 
 
 if __name__ == "__main__":

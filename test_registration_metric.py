@@ -92,13 +92,15 @@ def main():
                 valid = matches > -1
                 mkpts0 = kpts0[valid]
                 mkpts1 = kpts1[matches[valid]]
-                if len(mkpts0) < 3:
-                    meters["RR"].update(0)
-                    print(f"idx{idx}, rep {mm['repeatability']:.3f}, "
-                          "registration fail")
-                    continue
-                pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
-                rte, rre = pm["trans_error"], pm["rot_error"]
+                if len(mkpts0) == 0:
+                    # reference fits the pose unconditionally
+                    # (test_registration_metric.py:254-256) and would crash
+                    # on an empty match set (SVD of NaN means); treat it as
+                    # nan errors -> registration fail (README divergence)
+                    rte, rre = float("nan"), float("nan")
+                else:
+                    pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
+                    rte, rre = pm["trans_error"], pm["rot_error"]
                 if rte < 2:
                     meters["rte"].update(rte)
                 if not np.isnan(rre) and rre < np.pi / 180 * 5:

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from mdgat_tpu.cli import build_parser, config_from_args
-from mdgat_tpu.core.config import train_defaults, test_defaults
+from mdgat_tpu.core.config import train_defaults
 
 
 def test_train_preset_defaults_match_reference():

@@ -85,6 +85,62 @@ def test_native_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(out["loss"])).all()
 
 
+def test_optimizer_state_checkpoint_roundtrip(tmp_path):
+    """Adam moments survive the save/load roundtrip (the reference saves
+    ``optimizer.state_dict()`` every epoch, train.py:288-294) and the
+    restored state continues training identically to the original."""
+    from mdgat_tpu.core.checkpoint import restore_opt_state
+    from mdgat_tpu.train import TrainState, create_train_state, \
+        make_train_step
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    state, tx = create_train_state(model, jax.random.PRNGKey(3), 1e-3)
+    batch = tiny_batch(cfg, b=2, n=16, m=16, seed=9)
+    step = make_train_step(model, tx, donate=False)
+    state, _ = step(state, batch)          # non-trivial mu/nu/count
+
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, jax.device_get(state.params),
+                    jax.device_get(state.bn_state),
+                    opt_state=jax.device_get(state.opt_state),
+                    epoch=1, lr=3e-4, loss=0.5)
+    ck = load_checkpoint(path)
+    assert ck["meta"]["lr_schedule"] == 3e-4
+    assert "opt_state" in ck
+
+    restored = restore_opt_state(ck["opt_state"], tx.init(state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # continuing from the restored state is step-for-step identical
+    s_orig, _ = step(state, batch)
+    s_rest, _ = step(TrainState(state.params, state.bn_state, restored,
+                                state.step), batch)
+    for a, b in zip(jax.tree_util.tree_leaves(s_orig.params),
+                    jax.tree_util.tree_leaves(s_rest.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_uses_checkpointed_lr(tmp_path):
+    """Reference resume builds Adam at the checkpoint's ``lr_schedule``,
+    not the CLI lr, and resets best_loss to 1 (train.py:159-164,202-204)."""
+    import train as train_entry
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, jax.device_get(params), jax.device_get(state),
+                    epoch=4, lr=7e-5, loss=0.9)
+    cfg = cfg.replace(resume=True, resume_model=path, learning_rate=1e-4)
+    p2, s2, meta, lr, best_loss = train_entry.resolve_resume(cfg)
+    assert lr == 7e-5 and best_loss == 1.0 and meta["epoch"] == 4
+    flat_a, flat_b = tree_to_flat(params), tree_to_flat(p2)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]))
+
+
 def test_flat_tree_roundtrip_with_lists():
     tree = {"a": [{"x": np.ones(2)}, {"x": np.zeros(3)}],
             "b": {"c": np.arange(4)}}

@@ -4,7 +4,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from mdgat_tpu.core.config import train_defaults, test_defaults
+from mdgat_tpu.core.config import train_defaults
+from mdgat_tpu.core.config import test_defaults as eval_defaults
 from mdgat_tpu.data import (
     SparseDataset, prepare_batch_fn, write_synthetic_kitti,
     make_synthetic_pair,
@@ -109,7 +110,7 @@ def test_pointnet_cloud_path(tmp_path):
     kp_dir = write_synthetic_kitti(root, seqs=(10,), frames_per_seq=3,
                                    pairs_per_seq=2, n_points=64, seed=2,
                                    cloud_points=256)
-    cfg = test_defaults(train_path=root, keypoints_path=kp_dir,
+    cfg = eval_defaults(train_path=root, keypoints_path=kp_dir,
                         txt_path=f"{root}/preprocess-random-full",
                         descriptor="pointnet", max_keypoints=64,
                         ensure_kpts_num=True, memory_is_enough=True)

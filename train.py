@@ -21,6 +21,29 @@ from mdgat_tpu.cli import (build_parser, config_from_args,
                            maybe_generate_synthetic, setup_jax)
 
 
+def resolve_resume(cfg):
+    """Load a resume checkpoint with the reference's semantics
+    (``train.py:159-164,202-204``): fresh Adam is built at the
+    *checkpointed* ``lr_schedule`` (not the CLI lr), ``best_loss`` resets
+    to 1, ``start_epoch`` to 1; Adam moments are NOT restored.
+
+    Returns ``(params, bn_state, meta, lr, best_loss)``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from mdgat_tpu.core.checkpoint import (load_checkpoint,
+                                           load_pth_checkpoint)
+    if cfg.resume_model.endswith(".pth"):
+        params, bn_state, meta = load_pth_checkpoint(
+            cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
+    else:
+        ck = load_checkpoint(cfg.resume_model)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
+        meta = ck["meta"]
+    return params, bn_state, meta, float(meta["lr_schedule"]), 1.0
+
+
 def main():
     args = build_parser("train").parse_args()
     cfg = config_from_args(args, "train")
@@ -28,9 +51,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from mdgat_tpu.core.checkpoint import (load_checkpoint,
-                                           load_pth_checkpoint,
-                                           save_checkpoint)
+    from mdgat_tpu.core.checkpoint import save_checkpoint
     from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
     from mdgat_tpu.models import build_model
     from mdgat_tpu.parallel import make_mesh, replicate, shard_batch
@@ -50,24 +71,18 @@ def main():
           f"model_out_path: {model_out_path}\nlog_path: {log_path}")
 
     model = build_model(cfg)
-    state, tx = create_train_state(model, jax.random.PRNGKey(cfg.seed),
-                                   cfg.learning_rate)
     start_epoch, best_loss = 1, 1e6
+    lr = cfg.learning_rate
+    resume_loaded = None
     if cfg.resume:
-        if cfg.resume_model.endswith(".pth"):
-            params, bn_state, meta = load_pth_checkpoint(
-                cfg.resume_model, cfg, dtype=np.dtype(cfg.param_dtype))
-            state = TrainState(params, bn_state,
-                               tx.init(params), state.step)
-        else:
-            ck = load_checkpoint(cfg.resume_model)
-            params = jax.tree.map(jnp.asarray, ck["params"])
-            bn_state = jax.tree.map(jnp.asarray, ck["bn_state"])
-            state = TrainState(params, bn_state, tx.init(params), state.step)
-            meta = ck["meta"]
-        best_loss = 1.0  # reference resume resets best_loss (train.py:164)
+        params, bn_state, meta, lr, best_loss = resolve_resume(cfg)
+        resume_loaded = (params, bn_state)
         print(f"Resume from {cfg.resume_model} at epoch {meta['epoch']}, "
-              f"loss {meta['loss']:.4f}")
+              f"loss {meta['loss']:.4f}, lr {lr}")
+    state, tx = create_train_state(model, jax.random.PRNGKey(cfg.seed), lr)
+    if resume_loaded is not None:
+        params, bn_state = resume_loaded
+        state = TrainState(params, bn_state, tx.init(params), state.step)
 
     train_set = SparseDataset(cfg, "train")
     val_set = SparseDataset(cfg, "val")
@@ -127,14 +142,17 @@ def main():
 
         params_host = jax.device_get(state.params)
         bn_host = jax.device_get(state.bn_state)
+        opt_host = jax.device_get(state.opt_state)
         if mean_val_loss <= best_loss + 1e-5:
             best_loss = mean_val_loss
             out_file = (f"{model_out_path}/best_model_epoch_{epoch}"
                         f"(val_loss{best_loss}).npz")
         else:
             out_file = f"{model_out_path}/model_epoch_{epoch}.npz"
-        save_checkpoint(out_file, params_host, bn_host, epoch=epoch,
-                        lr=cfg.learning_rate, loss=mean_val_loss)
+        # all five reference checkpoint fields incl. the optimizer state
+        # and current lr (train.py:288-294)
+        save_checkpoint(out_file, params_host, bn_host, opt_state=opt_host,
+                        epoch=epoch, lr=lr, loss=mean_val_loss)
         print(f"Checkpoint saved to {out_file}")
 
         logger.add_scalar("Train/val_loss", mean_val_loss, epoch)
