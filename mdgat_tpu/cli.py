@@ -175,9 +175,14 @@ def maybe_generate_synthetic(cfg: Config, args) -> Config:
     from mdgat_tpu.data.synthetic import write_synthetic_kitti
     root = cfg.train_path
     print(f"[synthetic] generating KITTI-format dataset under {root}")
+    n_points = max(300, cfg.max_keypoints)
     kp_dir = write_synthetic_kitti(
         root, seqs=(0, 2, 3, 4, 5, 6, 7, 9, 10), frames_per_seq=12,
-        pairs_per_seq=24, n_points=max(300, cfg.max_keypoints),
-        seed=cfg.seed)
+        pairs_per_seq=24, n_points=n_points,
+        seed=cfg.seed,
+        # learned-descriptor modes read raw clouds (D10)
+        cloud_points=(4 * n_points
+                      if cfg.descriptor in ("pointnet", "pointnetmsg")
+                      else 0))
     return cfg.replace(keypoints_path=kp_dir,
                        txt_path=os.path.join(root, "preprocess-random-full"))

@@ -196,6 +196,61 @@ def _convert_conv(sd, prefix: str, dtype=np.float64):
             "b": jnp.asarray(sd[f"{prefix}.bias"], dtype)}
 
 
+def _convert_conv2d_stack(sd, conv_prefix: str, bn_prefix: str,
+                          n_layers: int, dtype=np.float64):
+    """(params, state) for a PointNet++ Conv2d(1x1)+BN2d stack — BN on
+    EVERY layer (``pointnet_util.py:186-191``), unlike the MLP helper.
+    Conv2d weights are [out, in, 1, 1] -> dense kernels [in, out]."""
+    params, state = [], []
+    for j in range(n_layers):
+        w = sd[f"{conv_prefix}.{j}.weight"]
+        params.append({
+            "lin": {"w": jnp.asarray(w[:, :, 0, 0].T, dtype),
+                    "b": jnp.asarray(sd[f"{conv_prefix}.{j}.bias"], dtype)},
+            "bn": {"scale": jnp.asarray(sd[f"{bn_prefix}.{j}.weight"], dtype),
+                   "bias": jnp.asarray(sd[f"{bn_prefix}.{j}.bias"], dtype)},
+        })
+        state.append({
+            "mean": jnp.asarray(sd[f"{bn_prefix}.{j}.running_mean"], dtype),
+            "var": jnp.asarray(sd[f"{bn_prefix}.{j}.running_var"], dtype),
+        })
+    return params, state
+
+
+def _convert_pointnet_encoder(sd, config, dtype=np.float64):
+    """PointnetEncoder[Msg] weights (``models/mdgat.py:53-143``) ->
+    our ``penc`` pytree ({sa1, sa2, mlp, kenc}).
+
+    Reference module layout (state_dict prefixes under ``penc.``):
+    * ``sa1`` = PointNetSetKptsMsg: ``conv_blocks.{scale}.{layer}`` +
+      ``bn_blocks.{scale}.{layer}`` (``pointnet_util.py:284-302``);
+    * ``sa2`` = PointNetSetAbstraction(group_all): ``mlp_convs.{layer}`` +
+      ``mlp_bns.{layer}`` (``pointnet_util.py:180-191``);
+    * ``mlp`` = MLP([2D, 2D, D]) and ``kenc`` = KeypointEncoder
+      (``models/mdgat.py:68-69``).
+    """
+    from mdgat_tpu.models.pointnet_encoder import MSG_SPEC, SSG_SPEC
+    spec = MSG_SPEC if config.descriptor == "pointnetmsg" else SSG_SPEC
+    fd = config.descriptor_dim
+    sa1_p, sa1_s = [], []
+    for i, mlp in enumerate(spec["mlps"]):
+        p, s = _convert_conv2d_stack(sd, f"penc.sa1.conv_blocks.{i}",
+                                     f"penc.sa1.bn_blocks.{i}",
+                                     len(mlp), dtype)
+        sa1_p.append(p)
+        sa1_s.append(s)
+    sa2_p, sa2_s = _convert_conv2d_stack(sd, "penc.sa2.mlp_convs",
+                                         "penc.sa2.mlp_bns", 3, dtype)
+    mlp_p, mlp_s = _convert_mlp(sd, "penc.mlp", [fd * 2, fd * 2, fd], dtype)
+    kch = [4] + list(config.keypoint_encoder) + [fd]
+    kenc_p, kenc_s = _convert_mlp(sd, "penc.kenc.encoder", kch, dtype)
+    params = {"sa1": sa1_p, "sa2": sa2_p, "mlp": mlp_p,
+              "kenc": {"mlp": kenc_p}}
+    state = {"sa1": sa1_s, "sa2": sa2_s, "mlp": mlp_s,
+             "kenc": {"mlp": kenc_s}}
+    return params, state
+
+
 def convert_pth_state_dict(sd: Dict[str, Any], config,
                            dtype=np.float64) -> Tuple[Dict, Dict]:
     """Reference MDGAT/SuperGlue ``state_dict`` -> (params, bn_state)."""
@@ -219,6 +274,9 @@ def convert_pth_state_dict(sd: Dict[str, Any], config,
         p2, s2 = _convert_mlp(sd, "denc.encoder2", ch2, dtype)
         params["denc"] = {"mlp": p1, "mlp2": p2}
         state["denc"] = {"mlp": s1, "mlp2": s2}
+    elif config.descriptor in ("pointnet", "pointnetmsg"):
+        params["penc"], state["penc"] = _convert_pointnet_encoder(
+            sd, config, dtype)
 
     n_layers = 2 * config.L
     glayers, gstates = [], []

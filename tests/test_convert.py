@@ -36,6 +36,41 @@ def test_pth_conversion_forward_parity(descriptor, train_mode):
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-9)
 
 
+def _clouds_near_keypoints(kpts0, kpts1, rng, n_points=160, sigma=0.8):
+    """Raw clouds [B, Np, 8] clustered around the keypoints so the
+    radius-grouping paths see real neighbors (plus some empty balls)."""
+    clouds = []
+    for kp in (np.asarray(kpts0), np.asarray(kpts1)):
+        b, n, _ = kp.shape
+        pick = rng.integers(0, n, size=(b, n_points))
+        xyz = np.take_along_axis(kp, pick[..., None], axis=1) \
+            + rng.normal(scale=sigma, size=(b, n_points, 3))
+        extra = rng.normal(size=(b, n_points, 5))
+        clouds.append(jnp.asarray(np.concatenate([xyz, extra], axis=-1)))
+    return clouds
+
+
+@pytest.mark.parametrize("descriptor", ["pointnet", "pointnetmsg"])
+@pytest.mark.parametrize("train_mode", [False, True])
+def test_pth_conversion_pointnet_parity(descriptor, train_mode):
+    """Converted PointnetEncoder[Msg] weights (models/mdgat.py:53-143,
+    pointnet_util.py:180-346) produce torch-identical OT scores."""
+    cfg = tiny_cfg(descriptor=descriptor)
+    sd = torch_ref.make_state_dict(cfg, seed=11)
+    params, state = convert_pth_state_dict(sd, cfg)
+    model = MDGAT(cfg)
+    batch = tiny_batch(cfg, b=2, n=16, m=16, seed=12)
+    rng = np.random.default_rng(13)
+    batch["cloud0"], batch["cloud1"] = _clouds_near_keypoints(
+        batch["keypoints0"], batch["keypoints1"], rng)
+
+    ref = torch_ref.t_forward_scores(sd, cfg, batch, train=train_mode)
+    out, _ = model.apply(params, state, batch, train=train_mode,
+                         return_full_scores=True)
+    got = np.asarray(out["scores"])
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-9)
+
+
 def test_pth_conversion_with_full_default_architecture():
     """Conversion handles the real (L=9, dim=128) architecture keys."""
     from mdgat_tpu.core.config import train_defaults

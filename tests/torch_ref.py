@@ -45,6 +45,41 @@ def _mlp_entries(sd, prefix, channels, rng):
             sd[f"{prefix}.{p}.num_batches_tracked"] = torch.tensor(7)
 
 
+def _conv2d_entry(sd, key, c_in, c_out, rng):
+    bound = 1.0 / np.sqrt(c_in)
+    sd[f"{key}.weight"] = torch.tensor(
+        rng.uniform(-bound, bound, size=(c_out, c_in, 1, 1)))
+    sd[f"{key}.bias"] = torch.tensor(
+        rng.uniform(-bound, bound, size=(c_out,)))
+
+
+def _conv2d_bn_stack_entries(sd, conv_prefix, bn_prefix, channels, rng):
+    """PointNet++ Conv2d+BN2d stack: BN on every layer
+    (pointnet_util.py:186-191 / 295-300)."""
+    for j in range(len(channels) - 1):
+        _conv2d_entry(sd, f"{conv_prefix}.{j}", channels[j],
+                      channels[j + 1], rng)
+        c = channels[j + 1]
+        sd[f"{bn_prefix}.{j}.weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, size=(c,)))
+        sd[f"{bn_prefix}.{j}.bias"] = torch.tensor(
+            rng.uniform(-0.1, 0.1, size=(c,)))
+        sd[f"{bn_prefix}.{j}.running_mean"] = torch.tensor(
+            rng.normal(scale=0.2, size=(c,)))
+        sd[f"{bn_prefix}.{j}.running_var"] = torch.tensor(
+            rng.uniform(0.5, 1.5, size=(c,)))
+        sd[f"{bn_prefix}.{j}.num_batches_tracked"] = torch.tensor(7)
+
+
+POINTNET_SSG = {"radii": [2.0], "nsamples": [32], "mlps": [[64, 64, 128]]}
+POINTNET_MSG = {"radii": [1.0, 1.5, 2.25], "nsamples": [16, 32, 128],
+                "mlps": [[32, 32, 64], [64, 64, 128], [64, 96, 128]]}
+
+
+def _pointnet_spec(cfg):
+    return POINTNET_MSG if cfg.descriptor == "pointnetmsg" else POINTNET_SSG
+
+
 def make_state_dict(cfg, seed=0, module_prefix=True):
     rng = np.random.default_rng(seed)
     sd = OrderedDict()
@@ -59,6 +94,19 @@ def make_state_dict(cfg, seed=0, module_prefix=True):
         _mlp_entries(sd, "denc.encoder",
                      [33] + list(cfg.descriptor_encoder) + [fd], rng)
         _mlp_entries(sd, "denc.encoder2", [fd * 2, fd * 2, fd], rng)
+    elif cfg.descriptor in ("pointnet", "pointnetmsg"):
+        spec = _pointnet_spec(cfg)
+        for i, mlp in enumerate(spec["mlps"]):
+            _conv2d_bn_stack_entries(sd, f"penc.sa1.conv_blocks.{i}",
+                                     f"penc.sa1.bn_blocks.{i}",
+                                     [5 + 3] + mlp, rng)
+        scale_out = sum(m[-1] for m in spec["mlps"])
+        _conv2d_bn_stack_entries(sd, "penc.sa2.mlp_convs",
+                                 "penc.sa2.mlp_bns",
+                                 [scale_out + 3, 256, 256, fd], rng)
+        _mlp_entries(sd, "penc.mlp", [fd * 2, fd * 2, fd], rng)
+        _mlp_entries(sd, "penc.kenc.encoder",
+                     [4] + list(cfg.keypoint_encoder) + [fd], rng)
     for i in range(2 * cfg.L):
         for j in range(3):
             _conv_entry(sd, f"gnn.layers.{i}.attn.proj.{j}", fd, fd, rng)
@@ -88,6 +136,80 @@ def t_mlp(sd, prefix, channels, x, train):
                              training=train, momentum=0.1, eps=1e-5)
             x = F.relu(x)
     return x
+
+
+def t_conv2d_bn_stack(sd, conv_prefix, bn_prefix, x, n_layers, train):
+    """x: [B, C, K, S]; conv2d(1x1) + BN2d + ReLU on every layer
+    (pointnet_util.py:215-217)."""
+    for j in range(n_layers):
+        x = F.conv2d(x, sd[f"{conv_prefix}.{j}.weight"],
+                     sd[f"{conv_prefix}.{j}.bias"])
+        x = F.batch_norm(x, sd[f"{bn_prefix}.{j}.running_mean"].clone(),
+                         sd[f"{bn_prefix}.{j}.running_var"].clone(),
+                         sd[f"{bn_prefix}.{j}.weight"],
+                         sd[f"{bn_prefix}.{j}.bias"],
+                         training=train, momentum=0.1, eps=1e-5)
+        x = F.relu(x)
+    return x
+
+
+def t_query_ball(radius, nsample, xyz, new_xyz):
+    """query_ball_point (pointnet_util.py:101-121): ascending-index sort of
+    in-radius points, first-index backfill, N sentinel for empty balls."""
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    dist = (-2 * torch.matmul(new_xyz, xyz.permute(0, 2, 1))
+            + torch.sum(new_xyz ** 2, -1).view(B, S, 1)
+            + torch.sum(xyz ** 2, -1).view(B, 1, N))
+    group_idx = torch.arange(N, dtype=torch.long).view(1, 1, N).repeat(B, S, 1)
+    group_idx[dist > radius ** 2] = N
+    group_idx = group_idx.sort(dim=-1)[0][:, :, :nsample]
+    group_first = group_idx[:, :, 0].view(B, S, 1).repeat(1, 1, nsample)
+    mask = group_idx == N
+    group_idx[mask] = group_first[mask]
+    return group_idx
+
+
+def t_index_points_zero(points, idx):
+    """index_points with the appended zero sentinel row
+    (pointnet_util.py:43-74): idx == N gathers zeros."""
+    B, N, D = points.shape
+    pts = torch.cat([points, torch.zeros(B, 1, D, dtype=points.dtype)], 1)
+    batch = torch.arange(B, dtype=torch.long).view(B, 1, 1)
+    return pts[batch, idx, :]
+
+
+def t_pointnet_desc(sd, cfg, cloud, kpts, scores, train):
+    """PointnetEncoder[Msg].forward (models/mdgat.py:71-97/125-141):
+    KptsMsg grouping -> per-scale conv stacks + K-max-pool -> group_all SA
+    (pointwise, pool commented out upstream) -> concat with kenc -> MLP.
+    cloud [B, Np, 8]; kpts [B, S, 3]; scores [B, S]. Returns [B, D, S]."""
+    spec = _pointnet_spec(cfg)
+    fd = cfg.descriptor_dim
+    xyz, norm = cloud[..., :3], cloud[..., 3:8]
+    B, S, _ = kpts.shape
+    outs = []
+    for i, radius in enumerate(spec["radii"]):
+        idx = t_query_ball(radius, spec["nsamples"][i], xyz, kpts)
+        gx = t_index_points_zero(xyz, idx) - kpts.view(B, S, 1, 3)
+        gf = t_index_points_zero(norm, idx)
+        grouped = torch.cat([gf, gx], dim=-1)        # [feat, rel_xyz] quirk
+        grouped = grouped.permute(0, 3, 2, 1)        # [B, C, K, S]
+        h = t_conv2d_bn_stack(sd, f"penc.sa1.conv_blocks.{i}",
+                              f"penc.sa1.bn_blocks.{i}", grouped,
+                              len(spec["mlps"][i]), train)
+        outs.append(h.max(2)[0])                     # [B, D', S]
+    l1 = torch.cat(outs, dim=1)
+    # sa2 (group_all): concat [xyz, feats] channelwise, pointwise conv stack
+    x = torch.cat([kpts.permute(0, 2, 1), l1], dim=1).unsqueeze(2)
+    x = t_conv2d_bn_stack(sd, "penc.sa2.mlp_convs", "penc.sa2.mlp_bns",
+                          x, 3, train)
+    desc = x.view(B, fd, S)
+    kch = [4] + list(cfg.keypoint_encoder) + [fd]
+    kin = torch.cat([kpts.permute(0, 2, 1), scores.unsqueeze(1)], 1)
+    kemb = t_mlp(sd, "penc.kenc.encoder", kch, kin, train)
+    return t_mlp(sd, "penc.mlp", [fd * 2, fd * 2, fd],
+                 torch.cat([kemb, desc], dim=1), train)
 
 
 def t_dense_attn(q, k, v):
@@ -167,8 +289,10 @@ def t_forward_scores(sd, cfg, batch, train=False):
     kp1 = torch.tensor(np.asarray(batch["keypoints1"]))
     sc0 = torch.tensor(np.asarray(batch["scores0"]))
     sc1 = torch.tensor(np.asarray(batch["scores1"]))
-    de0 = torch.tensor(np.asarray(batch["descriptors0"])).transpose(1, 2)
-    de1 = torch.tensor(np.asarray(batch["descriptors1"])).transpose(1, 2)
+    de0 = (torch.tensor(np.asarray(batch["descriptors0"])).transpose(1, 2)
+           if "descriptors0" in batch else None)
+    de1 = (torch.tensor(np.asarray(batch["descriptors1"])).transpose(1, 2)
+           if "descriptors1" in batch else None)
     fd = cfg.descriptor_dim
 
     kch = [4] + list(cfg.keypoint_encoder) + [fd]
@@ -183,6 +307,11 @@ def t_forward_scores(sd, cfg, batch, train=False):
     elif cfg.descriptor == "FPFH_only":
         d0 = t_mlp(sd, "denc.encoder", dch, de0, train)
         d1 = t_mlp(sd, "denc.encoder", dch, de1, train)
+    elif cfg.descriptor in ("pointnet", "pointnetmsg"):
+        pc0 = torch.tensor(np.asarray(batch["cloud0"]))
+        pc1 = torch.tensor(np.asarray(batch["cloud1"]))
+        d0 = t_pointnet_desc(sd, cfg, pc0, kp0, sc0, train)
+        d1 = t_pointnet_desc(sd, cfg, pc1, kp1, sc1, train)
     else:
         raise NotImplementedError(cfg.descriptor)
 
