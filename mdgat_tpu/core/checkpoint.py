@@ -232,6 +232,7 @@ def _convert_pointnet_encoder(sd, config, dtype=np.float64):
     from mdgat_tpu.models.pointnet_encoder import MSG_SPEC, SSG_SPEC
     spec = MSG_SPEC if config.descriptor == "pointnetmsg" else SSG_SPEC
     fd = config.descriptor_dim
+    superglue = config.net == "superglue"
     sa1_p, sa1_s = [], []
     for i, mlp in enumerate(spec["mlps"]):
         p, s = _convert_conv2d_stack(sd, f"penc.sa1.conv_blocks.{i}",
@@ -241,13 +242,18 @@ def _convert_pointnet_encoder(sd, config, dtype=np.float64):
         sa1_s.append(s)
     sa2_p, sa2_s = _convert_conv2d_stack(sd, "penc.sa2.mlp_convs",
                                          "penc.sa2.mlp_bns", 3, dtype)
-    mlp_p, mlp_s = _convert_mlp(sd, "penc.mlp", [fd * 2, fd * 2, fd], dtype)
-    kch = [4] + list(config.keypoint_encoder) + [fd]
-    kenc_p, kenc_s = _convert_mlp(sd, "penc.kenc.encoder", kch, dtype)
-    params = {"sa1": sa1_p, "sa2": sa2_p, "mlp": mlp_p,
-              "kenc": {"mlp": kenc_p}}
-    state = {"sa1": sa1_s, "sa2": sa2_s, "mlp": mlp_s,
-             "kenc": {"mlp": kenc_s}}
+    params = {"sa1": sa1_p, "sa2": sa2_p}
+    state = {"sa1": sa1_s, "sa2": sa2_s}
+    if not superglue:
+        # MDGAT's variant fuses kenc + output MLP (models/mdgat.py:68-69);
+        # SuperGlue's is sa1+sa2 only (superglue.py:108-126)
+        mlp_p, mlp_s = _convert_mlp(sd, "penc.mlp", [fd * 2, fd * 2, fd],
+                                    dtype)
+        kch = [4] + list(config.keypoint_encoder) + [fd]
+        kenc_p, kenc_s = _convert_mlp(sd, "penc.kenc.encoder", kch, dtype)
+        params["mlp"], state["mlp"] = mlp_p, mlp_s
+        params["kenc"] = {"mlp": kenc_p}
+        state["kenc"] = {"mlp": kenc_s}
     return params, state
 
 
@@ -277,6 +283,15 @@ def convert_pth_state_dict(sd: Dict[str, Any], config,
     elif config.descriptor in ("pointnet", "pointnetmsg"):
         params["penc"], state["penc"] = _convert_pointnet_encoder(
             sd, config, dtype)
+        if config.net == "superglue":
+            # constructed-but-unused companions (superglue.py:345-360);
+            # converted so reference checkpoints roundtrip completely
+            kch = [4] + list(config.keypoint_encoder) + [fd]
+            kp, ks = _convert_mlp(sd, "kenc.encoder", kch, dtype)
+            params["kenc"], state["kenc"] = {"mlp": kp}, {"mlp": ks}
+            dp, ds = _convert_mlp(sd, "denc.encoder",
+                                  [fd * 2, fd * 2, fd], dtype)
+            params["denc"], state["denc"] = {"mlp": dp}, {"mlp": ds}
 
     n_layers = 2 * config.L
     glayers, gstates = [], []

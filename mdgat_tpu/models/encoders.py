@@ -66,6 +66,15 @@ def descriptor_global_encoder_init(key, feature_dim: int,
 def descriptor_global_encoder_apply(params, state, desc, train=False,
                                     valid_mask=None):
     y, st1 = mlp_apply(params["mlp"], state["mlp"], desc, train, valid_mask)
+    z = _global_context_concat(y, valid_mask)
+    out, st2 = mlp_apply(params["mlp2"], state["mlp2"], z, train, valid_mask)
+    return out, {"mlp": st1, "mlp2": st2}
+
+
+def _global_context_concat(y, valid_mask):
+    """concat(y, global max-pool of y broadcast to every point) — the
+    'global aware' pattern shared by DescriptorGloabalEncoder and
+    pointnetDescriptorEncoder (``models/superglue.py:199-219``)."""
     if valid_mask is not None:
         neg = jnp.asarray(-1e30, y.dtype)
         masked = jnp.where(valid_mask[..., None], y, neg)
@@ -73,6 +82,23 @@ def descriptor_global_encoder_apply(params, state, desc, train=False,
         masked = y
     glob = jnp.max(masked, axis=-2, keepdims=True)        # [B, 1, D]
     glob = jnp.broadcast_to(glob, y.shape)
-    z = jnp.concatenate([y, glob], axis=-1)
-    out, st2 = mlp_apply(params["mlp2"], state["mlp2"], z, train, valid_mask)
-    return out, {"mlp": st1, "mlp2": st2}
+    return jnp.concatenate([y, glob], axis=-1)
+
+
+def pointnet_descriptor_encoder_init(key, feature_dim: int,
+                                     dtype=jnp.float32):
+    """SuperGlue's ``pointnetDescriptorEncoder``
+    (``models/superglue.py:206-219``): a global-aware MLP([2D, 2D, D])
+    over already-computed descriptors, zero-init final bias. The reference
+    constructs it for the pointnet descriptor modes (superglue.py:346-360)
+    though its shipped forward never calls it (superglue.py:421-424)."""
+    ch = [feature_dim * 2, feature_dim * 2, feature_dim]
+    return {"mlp": mlp_init(key, ch, dtype=dtype, zero_last_bias=True)}, \
+        {"mlp": mlp_state_init(ch, dtype=dtype)}
+
+
+def pointnet_descriptor_encoder_apply(params, state, desc, train=False,
+                                      valid_mask=None):
+    z = _global_context_concat(desc, valid_mask)
+    y, st = mlp_apply(params["mlp"], state["mlp"], z, train, valid_mask)
+    return y, {"mlp": st}

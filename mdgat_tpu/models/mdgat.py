@@ -63,9 +63,20 @@ class MDGAT:
                 keys[1], fd, cfg.descriptor_encoder, dtype)
         elif cfg.descriptor in ("pointnet", "pointnetmsg"):
             from mdgat_tpu.models.pointnet_encoder import pointnet_encoder_init
+            sg = cfg.net == "superglue"
             params["penc"], state["penc"] = pointnet_encoder_init(
                 keys[0], fd, cfg.keypoint_encoder,
-                msg=(cfg.descriptor == "pointnetmsg"), dtype=dtype)
+                msg=(cfg.descriptor == "pointnetmsg"), dtype=dtype,
+                superglue=sg)
+            if sg:
+                # reference SuperGlue also constructs a KeypointEncoder and
+                # pointnetDescriptorEncoder for the pointnet modes
+                # (superglue.py:345-360) though its forward never calls
+                # them (superglue.py:421-424); kept for checkpoint parity.
+                params["kenc"], state["kenc"] = enc.keypoint_encoder_init(
+                    keys[4], fd, cfg.keypoint_encoder, dtype)
+                params["denc"], state["denc"] = \
+                    enc.pointnet_descriptor_encoder_init(keys[5], fd, dtype)
         else:
             raise ValueError(f"Invalid descriptor: {cfg.descriptor}")
 
@@ -114,14 +125,17 @@ class MDGAT:
             new_state["denc"] = st
         else:  # pointnet / pointnetmsg
             from mdgat_tpu.models.pointnet_encoder import pointnet_encoder_apply
+            sg = cfg.net == "superglue"
             pc0 = data["cloud0"].astype(dt)
             pc1 = data["cloud1"].astype(dt)
             desc0, st = pointnet_encoder_apply(
                 params["penc"], state["penc"], pc0, kpts0, scores0,
-                msg=(cfg.descriptor == "pointnetmsg"), train=train)
+                msg=(cfg.descriptor == "pointnetmsg"), train=train,
+                superglue=sg)
             desc1, st = pointnet_encoder_apply(
                 params["penc"], st, pc1, kpts1, scores1,
-                msg=(cfg.descriptor == "pointnetmsg"), train=train)
+                msg=(cfg.descriptor == "pointnetmsg"), train=train,
+                superglue=sg)
             new_state["penc"] = st
         return desc0, desc1, new_state
 

@@ -36,32 +36,25 @@ def test_pth_conversion_forward_parity(descriptor, train_mode):
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-9)
 
 
-def _clouds_near_keypoints(kpts0, kpts1, rng, n_points=160, sigma=0.8):
-    """Raw clouds [B, Np, 8] clustered around the keypoints so the
-    radius-grouping paths see real neighbors (plus some empty balls)."""
-    clouds = []
-    for kp in (np.asarray(kpts0), np.asarray(kpts1)):
-        b, n, _ = kp.shape
-        pick = rng.integers(0, n, size=(b, n_points))
-        xyz = np.take_along_axis(kp, pick[..., None], axis=1) \
-            + rng.normal(scale=sigma, size=(b, n_points, 3))
-        extra = rng.normal(size=(b, n_points, 5))
-        clouds.append(jnp.asarray(np.concatenate([xyz, extra], axis=-1)))
-    return clouds
+from test_model import clouds_near_keypoints
 
 
 @pytest.mark.parametrize("descriptor", ["pointnet", "pointnetmsg"])
+@pytest.mark.parametrize("net", ["mdgat", "superglue"])
 @pytest.mark.parametrize("train_mode", [False, True])
-def test_pth_conversion_pointnet_parity(descriptor, train_mode):
+def test_pth_conversion_pointnet_parity(descriptor, net, train_mode):
     """Converted PointnetEncoder[Msg] weights (models/mdgat.py:53-143,
-    pointnet_util.py:180-346) produce torch-identical OT scores."""
-    cfg = tiny_cfg(descriptor=descriptor)
+    pointnet_util.py:180-346; superglue.py:108-153 for the kenc-less
+    SuperGlue variant) produce torch-identical OT scores."""
+    cfg = tiny_cfg(descriptor=descriptor, net=net,
+                   k=None if net == "superglue" else (8, None, 4, None))
     sd = torch_ref.make_state_dict(cfg, seed=11)
     params, state = convert_pth_state_dict(sd, cfg)
-    model = MDGAT(cfg)
+    from mdgat_tpu.models import build_model
+    model = build_model(cfg)
     batch = tiny_batch(cfg, b=2, n=16, m=16, seed=12)
     rng = np.random.default_rng(13)
-    batch["cloud0"], batch["cloud1"] = _clouds_near_keypoints(
+    batch["cloud0"], batch["cloud1"] = clouds_near_keypoints(
         batch["keypoints0"], batch["keypoints1"], rng)
 
     ref = torch_ref.t_forward_scores(sd, cfg, batch, train=train_mode)
@@ -69,6 +62,30 @@ def test_pth_conversion_pointnet_parity(descriptor, train_mode):
                          return_full_scores=True)
     got = np.asarray(out["scores"])
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-9)
+
+
+def test_pointnet_descriptor_encoder_parity():
+    """pointnetDescriptorEncoder (superglue.py:206-219): converted weights
+    + our apply == a straight torch port (global-aware MLP)."""
+    import torch.nn.functional as TF
+    from mdgat_tpu.models.encoders import pointnet_descriptor_encoder_apply
+    cfg = tiny_cfg(descriptor="pointnet", net="superglue", k=None)
+    fd = cfg.descriptor_dim
+    sd = torch_ref.make_state_dict(cfg, seed=21, module_prefix=False)
+    params, state = convert_pth_state_dict(sd, cfg)
+    rng = np.random.default_rng(22)
+    desc = rng.normal(size=(2, 16, fd))
+
+    # torch port of the reference forward
+    d = torch.tensor(desc).permute(0, 2, 1)             # [B, D, N]
+    glob = d.max(dim=2)[0].view(2, fd, 1).repeat(1, 1, 16)
+    ref = torch_ref.t_mlp(sd, "denc.encoder", [fd * 2, fd * 2, fd],
+                          torch.cat([d, glob], 1), False)
+    got, _ = pointnet_descriptor_encoder_apply(
+        params["denc"], state["denc"], jnp.asarray(desc))
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.permute(0, 2, 1).numpy(),
+                               rtol=1e-10, atol=1e-12)
 
 
 def test_pth_conversion_with_full_default_architecture():

@@ -45,6 +45,20 @@ def tiny_batch(cfg, b=2, n=24, m=24, seed=0, masks=False):
     return batch
 
 
+def clouds_near_keypoints(kpts0, kpts1, rng, n_points=160, sigma=0.8):
+    """Raw clouds [B, Np, 8] clustered around the keypoints so the
+    radius-grouping paths see real neighbors (plus some empty balls)."""
+    clouds = []
+    for kp in (np.asarray(kpts0), np.asarray(kpts1)):
+        b, n, _ = kp.shape
+        pick = rng.integers(0, n, size=(b, n_points))
+        xyz = np.take_along_axis(kp, pick[..., None], axis=1) \
+            + rng.normal(scale=sigma, size=(b, n_points, 3))
+        extra = rng.normal(size=(b, n_points, 5))
+        clouds.append(jnp.asarray(np.concatenate([xyz, extra], axis=-1)))
+    return clouds
+
+
 @pytest.mark.parametrize("descriptor", ["FPFH", "FPFH_gloabal", "FPFH_only"])
 def test_forward_shapes_and_finite_loss(descriptor):
     cfg = tiny_cfg(descriptor=descriptor)
@@ -80,6 +94,31 @@ def test_superglue_baseline_runs_full_attention():
     assert model.config.layer_k_schedule(24) == [None] * 4
     params, state = model.init(jax.random.PRNGKey(2))
     out, _ = model.apply(params, state, tiny_batch(cfg), train=False)
+    assert np.isfinite(np.asarray(out["loss"])).all()
+
+
+@pytest.mark.parametrize("descriptor", ["FPFH", "FPFH_gloabal", "FPFH_only",
+                                        "pointnet", "pointnetmsg"])
+def test_superglue_forward_every_descriptor(descriptor):
+    """Every --net superglue --descriptor combination has its intended
+    module (reference superglue.py:345-376): the pointnet modes use
+    SuperGlue's own kenc-less encoder (radius-1 SSG, raw sa2 output) and
+    also construct the unused kenc/pointnetDescriptorEncoder pair."""
+    cfg = tiny_cfg(descriptor=descriptor, net="superglue", k=None)
+    model = build_model(cfg)
+    assert isinstance(model, SuperGlue)
+    params, state = model.init(jax.random.PRNGKey(4))
+    batch = tiny_batch(cfg, b=2, n=16, m=16, seed=8)
+    if descriptor in ("pointnet", "pointnetmsg"):
+        rng = np.random.default_rng(9)
+        batch["cloud0"], batch["cloud1"] = clouds_near_keypoints(
+            batch["keypoints0"], batch["keypoints1"], rng)
+        # SuperGlue's pointnet encoder has no kenc/mlp stage...
+        assert "mlp" not in params["penc"] and "kenc" not in params["penc"]
+        # ...but the companions exist at the top level (checkpoint parity)
+        assert "kenc" in params and "denc" in params
+    out, _ = model.apply(params, state, batch, train=True)
+    assert out["matches0"].shape == (2, 16)
     assert np.isfinite(np.asarray(out["loss"])).all()
 
 

@@ -72,12 +72,16 @@ def _conv2d_bn_stack_entries(sd, conv_prefix, bn_prefix, channels, rng):
 
 
 POINTNET_SSG = {"radii": [2.0], "nsamples": [32], "mlps": [[64, 64, 128]]}
+# SuperGlue's SSG variant groups at radius 1 (superglue.py:113)
+POINTNET_SG_SSG = {"radii": [1.0], "nsamples": [32], "mlps": [[64, 64, 128]]}
 POINTNET_MSG = {"radii": [1.0, 1.5, 2.25], "nsamples": [16, 32, 128],
                 "mlps": [[32, 32, 64], [64, 64, 128], [64, 96, 128]]}
 
 
 def _pointnet_spec(cfg):
-    return POINTNET_MSG if cfg.descriptor == "pointnetmsg" else POINTNET_SSG
+    if cfg.descriptor == "pointnetmsg":
+        return POINTNET_MSG
+    return POINTNET_SG_SSG if cfg.net == "superglue" else POINTNET_SSG
 
 
 def make_state_dict(cfg, seed=0, module_prefix=True):
@@ -104,9 +108,15 @@ def make_state_dict(cfg, seed=0, module_prefix=True):
         _conv2d_bn_stack_entries(sd, "penc.sa2.mlp_convs",
                                  "penc.sa2.mlp_bns",
                                  [scale_out + 3, 256, 256, fd], rng)
-        _mlp_entries(sd, "penc.mlp", [fd * 2, fd * 2, fd], rng)
-        _mlp_entries(sd, "penc.kenc.encoder",
-                     [4] + list(cfg.keypoint_encoder) + [fd], rng)
+        if cfg.net == "superglue":
+            # constructed-but-unused companions (superglue.py:345-360)
+            _mlp_entries(sd, "kenc.encoder",
+                         [4] + list(cfg.keypoint_encoder) + [fd], rng)
+            _mlp_entries(sd, "denc.encoder", [fd * 2, fd * 2, fd], rng)
+        else:
+            _mlp_entries(sd, "penc.mlp", [fd * 2, fd * 2, fd], rng)
+            _mlp_entries(sd, "penc.kenc.encoder",
+                         [4] + list(cfg.keypoint_encoder) + [fd], rng)
     for i in range(2 * cfg.L):
         for j in range(3):
             _conv_entry(sd, f"gnn.layers.{i}.attn.proj.{j}", fd, fd, rng)
@@ -205,6 +215,9 @@ def t_pointnet_desc(sd, cfg, cloud, kpts, scores, train):
     x = t_conv2d_bn_stack(sd, "penc.sa2.mlp_convs", "penc.sa2.mlp_bns",
                           x, 3, train)
     desc = x.view(B, fd, S)
+    if cfg.net == "superglue":
+        # SuperGlue's encoder returns sa2's output raw (superglue.py:126-153)
+        return desc
     kch = [4] + list(cfg.keypoint_encoder) + [fd]
     kin = torch.cat([kpts.permute(0, 2, 1), scores.unsqueeze(1)], 1)
     kemb = t_mlp(sd, "penc.kenc.encoder", kch, kin, train)
