@@ -89,6 +89,8 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
     p.add_argument("--seq_parallel", type=int, default=1)
     p.add_argument("--use_pallas", type=_parse_bool, default=True)
     p.add_argument("--pallas_attention", type=_parse_bool, default=True)
+    p.add_argument("--pallas_exact_topk", type=_parse_bool, default=False,
+                   help="bit-exact top-k selection in the fused kernel")
     p.add_argument("--synthetic", type=_parse_bool, default=False,
                    help="generate a synthetic KITTI-format dataset under "
                         "--train_path if keypoints are absent (demo mode)")
@@ -139,6 +141,7 @@ def config_from_args(args, preset: str) -> Config:
         seq_parallel=args.seq_parallel,
         use_pallas=args.use_pallas,
         pallas_attention=args.pallas_attention,
+        pallas_exact_topk=args.pallas_exact_topk,
         seed=args.seed,
     )
     if cfg.net == "raw":

@@ -68,6 +68,8 @@ class Config:
     pallas_attention: bool = True   # fused attention kernel: per-head MXU
                                     # matmuls + stacked-head bisection top-k
                                     # (avoids XLA's sort-based TopK)
+    pallas_exact_topk: bool = False  # integer-key search: bit-exact top-k
+                                     # selection (~1.6x slower eval fwd)
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
     seed: int = 0

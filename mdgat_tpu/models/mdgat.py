@@ -164,6 +164,8 @@ class MDGAT:
         on_accel = jax.default_backend() != "cpu"
         use_pallas = cfg.use_pallas and on_accel and not train
         pallas_attn = cfg.pallas_attention and on_accel
+        if pallas_attn and cfg.pallas_exact_topk:
+            pallas_attn = "exact"
 
         if run_gnn:
             n = desc0.shape[1]

@@ -144,7 +144,9 @@ def multi_head_attention(proj_params, x, source, topk: Optional[int],
 
     proj_params: {"q","k","v","merge"} each a conv1x1 param dict.
     x, source: [B, N, C]. topk=None selects dense attention.
-    ``use_pallas`` routes through the fused forward-only TPU kernel.
+    ``use_pallas`` routes through the fused TPU kernel: ``True`` uses the
+    fast value-bisection top-k, ``"exact"`` the bit-exact integer-key
+    search (see ``ops/pallas/attention.py``).
     The reference's ``self.prob`` side-channel accumulation
     (``models/mdgat.py:236``) is dropped — it holds the full dense prob
     matrices in memory and is unused by training/eval.
@@ -156,7 +158,8 @@ def multi_head_attention(proj_params, x, source, topk: Optional[int],
     v = split_heads(conv1x1_apply(proj_params["v"], source), num_heads)
     if use_pallas:
         from mdgat_tpu.ops.pallas.attention import fused_topk_attention
-        o = fused_topk_attention(q, k, v, topk, kv_mask)
+        o = fused_topk_attention(q, k, v, topk, kv_mask,
+                                 use_pallas == "exact")
     elif topk is None:
         o = full_attention(q, k, v, kv_mask=kv_mask)
     else:

@@ -1,18 +1,22 @@
 """Fused dynamic top-k attention as a Pallas TPU kernel.
 
 One kernel per (batch, head): computes scores on the MXU, finds each query
-row's k-th largest score by *value bisection* (``jax.lax.top_k`` has no
-Mosaic lowering), applies the masked softmax, and multiplies by V — the
-``[N, M]`` probability matrix never leaves VMEM. The XLA path materializes
-prob in HBM between the softmax and the PV matmul; at L=18 layers that
-dominates HBM traffic.
+row's k-th largest score by *bisection* (``jax.lax.top_k`` has no Mosaic
+lowering), applies the masked softmax, and multiplies by V — the ``[N, M]``
+probability matrix never leaves VMEM. The XLA path materializes prob in
+HBM between the softmax and the PV matmul; at L=18 layers that dominates
+HBM traffic.
 
-Bisection: maintain [lo, hi] with count(s >= lo) >= k > count(s >= hi);
-after ~30 halvings lo converges to the k-th value within float precision.
-Exact agreement with the threshold-mask XLA path except for scores tied
-within the final bisection interval (measure-zero for continuous scores).
+Bisection is EXACT: scores are mapped to order-preserving int32 keys
+(IEEE-754 totally ordered under the sign-fix transform), and the k-th key
+is found by integer binary search — 32 halvings pin the interval to
+adjacent integers, so the threshold equals the k-th largest score *bit
+exactly* and the kept set is the true top-k (all ties at the k-th value
+kept, the same semantics as the XLA threshold path ``s >= top_k(s)[-1]``;
+``models/mdgat.py:196-210`` keeps exactly k under ties — documented
+divergence, measure-zero for continuous scores).
 
-Forward-only (the training path keeps the differentiable XLA version).
+Forward is the Pallas kernel; training uses the custom-VJP wrapper below.
 """
 
 from __future__ import annotations
@@ -26,18 +30,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG_NEG = -1e30
-# Bisection halvings for the k-th-value threshold. lo converges to the
-# true k-th value FROM BELOW, so the kept set always contains the true
-# top-k; after 14 halvings the interval is range/16384 (~1e-3 for typical
-# attention-score spreads) and spurious extra members are near-ties whose
-# softmax weights match the k-th entry's anyway.
-_BISECT_ITERS = 14
+# Integer binary search over the int32 key space: the interval [lo, hi]
+# halves every step, so 32 steps guarantee hi - lo <= 1, i.e. lo IS the
+# k-th largest key (exact selection regardless of score distribution).
+_BISECT_ITERS_EXACT = 32
+# Float value-bisection steps for the fast path (see fbisect below).
+_BISECT_ITERS_FAST = 14
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
+
+import numpy as np
+
+_SIGN_FIX = np.int32(0x7FFFFFFF)  # numpy scalar: inlined as a literal
+
+
+def _monotone_key(s):
+    """f32 -> int32, order-preserving (x < y  <=>  key(x) < key(y)).
+
+    Positive floats compare correctly as signed ints; negative floats
+    compare in reverse magnitude order — XOR with 0x7FFFFFFF (keeping the
+    sign bit) reverses them back while staying below every non-negative
+    key."""
+    bits = jax.lax.bitcast_convert_type(s, jnp.int32)
+    return jnp.where(bits >= 0, bits, bits ^ _SIGN_FIX)
+
+
+def _key_to_float(key):
+    bits = jnp.where(key >= 0, key, key ^ _SIGN_FIX)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
                  scale: float, num_heads: int, block_b: int,
-                 has_mask: bool):
+                 has_mask: bool, exact: bool):
     out_dt = q_ref.dtype
     dt = jnp.float32                       # scores/softmax accumulate in f32
     neg = jnp.asarray(BIG_NEG, dt)
@@ -83,7 +107,59 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
                 t_ref[b, h] = thr[r0:r0 + n]
         return
 
-    if topk > 0:
+    if topk > 0 and exact:
+        # EXACT k-th value by integer binary search on monotone keys.
+        # lo starts at the min VALID key (so cnt(key >= lo) = n_valid >= k
+        # holds; all-masked rows leave lo above every key and keep nothing).
+        ikey = _monotone_key(s)
+        big = jnp.asarray(-BIG_NEG, dt)
+        if has_mask:
+            lo = _monotone_key(jnp.min(jnp.where(valid, s, big),
+                                       axis=1, keepdims=True))
+        else:
+            lo = jnp.min(ikey, axis=1, keepdims=True)
+        hi = jnp.max(ikey, axis=1, keepdims=True)
+
+        one = np.int32(1)
+
+        def bisect(_, carry):
+            # binary search for the largest key t with cnt(>= t) >= k —
+            # that key IS the k-th largest score. Overflow-safe ceiling
+            # midpoint: keys straddle the full int32 range, so (lo + hi)
+            # and (hi - lo) both can overflow; the shift-based floor
+            # average never does. 32 halvings resolve any interval, after
+            # which lo equals the k-th key exactly.
+            lo, hi = carry
+            floor_avg = (jax.lax.shift_right_arithmetic(lo, one)
+                         + jax.lax.shift_right_arithmetic(hi, one)
+                         + (lo & hi & one))
+            mid = floor_avg + ((lo ^ hi) & one)        # ceil avg
+            cnt = jnp.sum((ikey >= mid).astype(dt), axis=1, keepdims=True)
+            take = cnt >= topk
+            lo = jnp.where(take, mid, lo)
+            hi = jnp.where(take, hi, mid - one)
+            return lo, hi
+
+        # unrolled: the TPU scalar-core loop overhead of a rolled/dynamic
+        # loop costs more than the extra VPU passes (measured: rolled
+        # 2.5k, early-exit while 2.5k, unrolled 3.5k pairs/s end-to-end)
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS_EXACT, bisect, (lo, hi),
+                                   unroll=True)
+        keep = ikey >= lo
+        if has_mask:
+            # airtight for all-masked rows (lo's init overflows the int32
+            # midpoint arithmetic there; keep must still be empty)
+            keep = keep & valid
+        thr = _key_to_float(lo)            # [B*H*N, 1] exact k-th value
+        # rebuild the float scores from the keys (pure bitcast): the float
+        # copy is dead across the search loop
+        s = _key_to_float(ikey)
+    elif topk > 0:
+        # FAST path: float value-bisection. lo converges to the k-th value
+        # from below, so the kept set always contains the true top-k;
+        # after 14 halvings the interval is range/16384 and spurious extra
+        # members are near-ties whose softmax weights match the k-th
+        # entry's (agreement quantified in DESIGN.md / test_pallas).
         big = jnp.asarray(-BIG_NEG, dt)
         if has_mask:
             lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
@@ -91,7 +167,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
             lo = jnp.min(s, axis=1, keepdims=True)
         hi = jnp.max(s, axis=1, keepdims=True)
 
-        def bisect(_, carry):
+        def fbisect(_, carry):
             lo, hi = carry
             mid = (lo + hi) * 0.5
             cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
@@ -100,10 +176,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
             hi = jnp.where(take, hi, mid)
             return lo, hi
 
-        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, bisect, (lo, hi),
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS_FAST, fbisect, (lo, hi),
                                    unroll=True)
         keep = s >= lo
-        thr = lo                           # [B*H*N, 1]
+        thr = lo
     else:
         keep = valid & jnp.ones_like(s, bool)
         thr = jnp.full((s.shape[0], 1), neg, dt)
@@ -128,12 +204,17 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
 def pallas_topk_attention(q, k, v, topk: Optional[int],
                           kv_mask: Optional[jnp.ndarray] = None,
                           interpret: bool = False,
-                          return_threshold: bool = False):
+                          return_threshold: bool = False,
+                          exact: bool = False):
     """Fused (top-k or dense) attention; q,k,v [B,H,N,D] -> [B,H,N,D].
 
     ``topk=None`` runs the dense masked softmax in the same fused kernel.
     ``return_threshold`` also returns the per-row k-th value [B,H,N,1]
     (f32) — the only residual the custom-VJP backward needs.
+    ``exact=True`` selects the integer-key binary search (bit-exact top-k,
+    ~1.6x slower end-to-end at the eval config); the default fast path is
+    a 14-step value bisection whose kept set is a superset of the top-k
+    with near-tie extras only (quantified in DESIGN.md).
     """
     b, h, n, d = q.shape
     m = k.shape[2]
@@ -144,16 +225,19 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         maskf = kv_mask.astype(jnp.float32)[:, None, :]
     scale = 1.0 / (d ** 0.5)
 
-    # VMEM budget: ~3 score-matrix-sized f32 temporaries (s, keep-mask,
-    # exp) are live at once; keep 3 * bb*hh*N*M * 4B within ~13 MB of the
-    # 16 MB scoped-vmem limit. Shrink the per-program batch, then split
-    # heads, for large N*M (the 1024-keypoint stretch config runs one
-    # head per program).
+    # VMEM blocking: the fast path peaks at ~3 score-matrix-sized f32
+    # temporaries (scores, keep-mask, exp); the exact path adds the int32
+    # key matrix and a compare scratch (~5). Keep the live set within
+    # ~13 MB (the kernel asks for a raised 56 MB cap — physical VMEM is
+    # 128 MB on v5e — but smaller blocks pipeline better; measured).
+    # Shrink the per-program batch, then split heads, for large N*M (the
+    # 1024-keypoint stretch config runs one head per program).
     budget = 13 * 1024 * 1024
+    live = 5 if (exact and topk) else 3
     bb, hh = _BLOCK_B, h
-    while bb > 1 and 3 * bb * hh * n * m * 4 > budget:
+    while bb > 1 and live * bb * hh * n * m * 4 > budget:
         bb //= 2
-    while hh > 1 and 3 * bb * hh * n * m * 4 > budget:
+    while hh > 1 and live * bb * hh * n * m * 4 > budget:
         hh //= 2
     while b % bb != 0:
         bb //= 2  # fall back to a divisor of the batch
@@ -161,7 +245,7 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
         hh //= 2
     kern = functools.partial(_attn_kernel, topk=int(topk or 0), scale=scale,
                              num_heads=hh, block_b=bb,
-                             has_mask=kv_mask is not None)
+                             has_mask=kv_mask is not None, exact=exact)
     out, thr = pl.pallas_call(
         kern,
         grid=(b // bb, h // hh),
@@ -185,6 +269,8 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
             jax.ShapeDtypeStruct((b, h, n, d), dt),
             jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, maskf)
     if return_threshold:
@@ -196,8 +282,8 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
 # differentiable wrapper: pallas forward + analytic XLA backward
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_topk_attention(q, k, v, topk, kv_mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def fused_topk_attention(q, k, v, topk, kv_mask, exact=False):
     """Top-k attention with the Pallas forward and a sort-free backward.
 
     Forward: the fused kernel (scores stay in VMEM; returns the per-row
@@ -207,22 +293,23 @@ def fused_topk_attention(q, k, v, topk, kv_mask):
     the standard masked-softmax VJP — all MXU matmuls, no TopK sort in
     either pass. Makes the Pallas path usable in training.
     """
-    out, _ = _fused_fwd_impl(q, k, v, topk, kv_mask)
+    out, _ = _fused_fwd_impl(q, k, v, topk, kv_mask, exact)
     return out
 
 
-def _fused_fwd_impl(q, k, v, topk, kv_mask):
+def _fused_fwd_impl(q, k, v, topk, kv_mask, exact):
     interp = jax.default_backend() == "cpu"  # no Mosaic on CPU
     return pallas_topk_attention(q, k, v, topk, kv_mask=kv_mask,
-                                 return_threshold=True, interpret=interp)
+                                 return_threshold=True, interpret=interp,
+                                 exact=exact)
 
 
-def _fused_fwd(q, k, v, topk, kv_mask):
-    out, thr = _fused_fwd_impl(q, k, v, topk, kv_mask)
+def _fused_fwd(q, k, v, topk, kv_mask, exact):
+    out, thr = _fused_fwd_impl(q, k, v, topk, kv_mask, exact)
     return out, (q, k, v, thr, kv_mask)
 
 
-def _fused_bwd(topk, res, g):
+def _fused_bwd(topk, exact, res, g):
     q, k, v, thr, kv_mask = res
     dt = jnp.float32
     d = q.shape[-1]

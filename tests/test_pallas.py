@@ -84,6 +84,69 @@ def test_fused_attention_gradient_parity(topk):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_pallas_topk_threshold_is_bit_exact():
+    """The integer-key bisection returns the k-th largest score BIT
+    EXACTLY, including 1-ulp gaps and exact duplicates at the boundary
+    (head_dim 1 with unit queries makes scores equal k's values exactly,
+    so the oracle is a plain sort)."""
+    m = 128
+    vals = RNG.normal(size=(m,)).astype(np.float32) * 10
+    vals[10] = vals[11]                                     # exact tie
+    vals[12] = np.nextafter(vals[11], np.float32(1e30))     # 1-ulp gap
+    vals[13] = np.nextafter(vals[11], np.float32(-1e30))
+    vals[20:24] = -np.abs(vals[20:24])                      # negatives
+    q = jnp.ones((1, 1, 8, 1), jnp.float32)
+    kk_in = jnp.asarray(vals.reshape(1, 1, m, 1))
+    v = jnp.asarray(RNG.normal(size=(1, 1, m, 1)), jnp.float32)
+    desc = np.sort(vals)[::-1]
+    for topk in (1, 5, 64, 127):
+        _, thr = pallas_topk_attention(q, kk_in, v, topk, interpret=True,
+                                       return_threshold=True, exact=True)
+        got = np.asarray(thr)[0, 0, :, 0]
+        expect = desc[topk - 1]
+        assert (got == expect).all(), (topk, got[0], expect)
+        # kept set == XLA threshold-path set (s >= k-th value)
+        assert (vals >= expect).sum() >= topk
+        # fast path: kept set is a SUPERSET of the top-k containing only
+        # near-tie extras (threshold converges to the k-th value from
+        # below within range/2^14)
+        _, thr_f = pallas_topk_attention(q, kk_in, v, topk, interpret=True,
+                                         return_threshold=True)
+        tf = np.asarray(thr_f)[0, 0, 0, 0]
+        assert tf <= expect
+        # 2x: f32 rounding of the midpoints can leave up to one extra step
+        assert expect - tf <= (vals.max() - vals.min()) / 2 ** 13 + 1e-6
+
+
+def test_pallas_topk_threshold_exact_under_mask():
+    """Exact k-th value among VALID entries only."""
+    m = 64
+    vals = (RNG.normal(size=(m,)) * 5).astype(np.float32)
+    valid = np.arange(m) < 40
+    q = jnp.ones((1, 1, 8, 1), jnp.float32)
+    kk_in = jnp.asarray(vals.reshape(1, 1, m, 1))
+    v = jnp.asarray(RNG.normal(size=(1, 1, m, 1)), jnp.float32)
+    _, thr = pallas_topk_attention(q, kk_in, v, 7,
+                                   kv_mask=jnp.asarray(valid[None, :]),
+                                   interpret=True, return_threshold=True,
+                                   exact=True)
+    expect = np.sort(vals[valid])[::-1][6]
+    assert (np.asarray(thr)[0, 0, :, 0] == expect).all()
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_attention_both_paths_match_xla(exact):
+    """Both kernel variants reproduce the XLA threshold path on
+    well-separated scores; the exact path matches bit-for-bit semantics."""
+    q = jnp.asarray(RNG.normal(size=(2, 2, 16, 8)), jnp.float32)
+    k = jnp.asarray(RNG.normal(size=(2, 2, 24, 8)), jnp.float32)
+    v = jnp.asarray(RNG.normal(size=(2, 2, 24, 8)), jnp.float32)
+    ref = topk_attention(q, k, v, 6)
+    got = pallas_topk_attention(q, k, v, 6, interpret=True, exact=exact)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_attention_masked():
     q = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
     k = jnp.asarray(RNG.normal(size=(1, 2, 24, 8)), jnp.float32)
