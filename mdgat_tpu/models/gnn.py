@@ -74,6 +74,19 @@ def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
         src0, src1, kvm0, kvm1 = desc1, desc0, mask1, mask0
     else:
         src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
+    if use_pallas and not train:
+        # eval: whole layer (attention + merge + MLP + residual) in one
+        # fused kernel; BN folds to its running-stats affine, so the BN
+        # state passes through unchanged exactly like mlp_apply(train=False)
+        from mdgat_tpu.ops.pallas.attention import fused_layer_apply
+        interp = jax.default_backend() == "cpu"
+        o0 = fused_layer_apply(p, st, desc0, src0, k, num_heads, kvm0,
+                               exact=use_pallas == "exact", interpret=interp)
+        if o0 is not None:
+            o1 = fused_layer_apply(p, st, desc1, src1, k, num_heads, kvm1,
+                                   exact=use_pallas == "exact",
+                                   interpret=interp)
+            return o0, o1, st
     delta0, st = attentional_propagation_apply(
         p, st, desc0, src0, k, num_heads, train, mask0, kvm0,
         use_pallas=use_pallas)

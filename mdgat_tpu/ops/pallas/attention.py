@@ -59,58 +59,25 @@ def _key_to_float(key):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
-                 scale: float, num_heads: int, block_b: int,
-                 has_mask: bool, exact: bool):
-    out_dt = q_ref.dtype
-    dt = jnp.float32                       # scores/softmax accumulate in f32
-    neg = jnp.asarray(BIG_NEG, dt)
-    n = q_ref.shape[2]
-    m = k_ref.shape[2]
+def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
+    """Stacked scores [R, M] (masked entries already BIG_NEG) -> top-k /
+    dense masked softmax probabilities and the per-row threshold [R, 1].
 
-    # per-(batch, head) MXU matmuls (block-diagonal), then ALL VPU work
-    # (bisection threshold + masked softmax) on the stacked
-    # [block_b*H*N, M] score matrix — one wide vector pass instead of
-    # block_b*num_heads sequential ones. f32 internals: Mosaic's bf16
-    # matmul/scalar paths are unreliable on this toolchain; HBM traffic
-    # stays bf16 either way.
-    rows = []
-    masks = []
-    for b in range(block_b):
-        kv_mask = mask_ref[b] > 0.5        # [1, M] bool (f32 input)
-        for h in range(num_heads):
-            q = q_ref[b, h].astype(dt)     # [N, D]
-            k = k_ref[b, h].astype(dt)     # [M, D]
-            rows.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale)
-            if has_mask:
-                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
-    s = jnp.concatenate(rows, axis=0)      # [B*H*N, M]
-    if has_mask:
-        valid = jnp.concatenate(masks, axis=0)
-        s = jnp.where(valid, s, neg)
+    The shared VPU core of both attention kernels; see the selection-
+    variant notes on the module docstring."""
+    dt = s.dtype
+    neg = jnp.asarray(BIG_NEG, dt)
 
     if topk == 0 and not has_mask:
-        # dense, no padding: plain softmax — skip every masking pass
         mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
         prob = e / jnp.sum(e, axis=1, keepdims=True)
-        thr = jnp.full((s.shape[0], 1), neg, dt)
-        for b in range(block_b):
-            for h in range(num_heads):
-                v = v_ref[b, h].astype(dt)
-                r0 = (b * num_heads + h) * n
-                o_ref[b, h] = jax.lax.dot_general(
-                    prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(out_dt)
-                t_ref[b, h] = thr[r0:r0 + n]
-        return
+        return prob, jnp.full((s.shape[0], 1), neg, dt)
 
     if topk > 0 and exact:
         # EXACT k-th value by integer binary search on monotone keys.
         # lo starts at the min VALID key (so cnt(key >= lo) = n_valid >= k
-        # holds; all-masked rows leave lo above every key and keep nothing).
+        # holds; all-masked rows leave lo above every key, keeping nothing).
         ikey = _monotone_key(s)
         big = jnp.asarray(-BIG_NEG, dt)
         if has_mask:
@@ -150,7 +117,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
             # airtight for all-masked rows (lo's init overflows the int32
             # midpoint arithmetic there; keep must still be empty)
             keep = keep & valid
-        thr = _key_to_float(lo)            # [B*H*N, 1] exact k-th value
+        thr = _key_to_float(lo)            # [R, 1] exact k-th value
         # rebuild the float scores from the keys (pure bitcast): the float
         # copy is dead across the search loop
         s = _key_to_float(ikey)
@@ -183,14 +150,51 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
     else:
         keep = valid & jnp.ones_like(s, bool)
         thr = jnp.full((s.shape[0], 1), neg, dt)
-    del kv_mask
 
     s_m = jnp.where(keep, s, neg)
     mx = jnp.max(s_m, axis=1, keepdims=True)
     e = jnp.exp(s_m - mx) * keep.astype(dt)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-38, dt))
-    prob = e / denom                       # [B*H*N, M]
+    return e / denom, thr
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
+                 scale: float, num_heads: int, block_b: int,
+                 has_mask: bool, exact: bool):
+    out_dt = q_ref.dtype
+    dt = jnp.float32                       # scores/softmax accumulate in f32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = q_ref.shape[2]
+    m = k_ref.shape[2]
+
+    # per-(batch, head) MXU matmuls (block-diagonal), then ALL VPU work
+    # (bisection threshold + masked softmax) on the stacked
+    # [block_b*H*N, M] score matrix — one wide vector pass instead of
+    # block_b*num_heads sequential ones. f32 internals: Mosaic's bf16
+    # matmul/scalar paths are unreliable on this toolchain; HBM traffic
+    # stays bf16 either way.
+    rows = []
+    masks = []
+    for b in range(block_b):
+        kv_mask = mask_ref[b] > 0.5        # [1, M] bool (f32 input)
+        for h in range(num_heads):
+            q = q_ref[b, h].astype(dt)     # [N, D]
+            k = k_ref[b, h].astype(dt)     # [M, D]
+            rows.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+            if has_mask:
+                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+    s = jnp.concatenate(rows, axis=0)      # [B*H*N, M]
+    valid = None
+    if has_mask:
+        valid = jnp.concatenate(masks, axis=0)
+        s = jnp.where(valid, s, neg)
+    del kv_mask
+
+    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
+                              has_mask=has_mask)
     for b in range(block_b):
         for h in range(num_heads):
             v = v_ref[b, h].astype(dt)     # [M, D]
@@ -199,6 +203,77 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
                 prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(out_dt)
             t_ref[b, h] = thr[r0:r0 + n]   # [N, 1] per-row k-th value
+
+
+def _dot(a, b, dims=(((1,), (0,)), ((), ()))):
+    return jax.lax.dot_general(a, b, dims,
+                               preferred_element_type=jnp.float32)
+
+
+def _layer_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                  wv_ref, bv_ref, wm_ref, bm_ref,
+                  w1x_ref, w1m_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                  topk: int, num_heads: int, block_b: int,
+                  has_mask: bool, exact: bool):
+    """Whole AttentionalPropagation layer fused (EVAL only): q/k/v
+    projections + top-k/dense attention + head-merge projection + MLP
+    (BN pre-folded to affine) + residual add — one VMEM-resident kernel
+    instead of the attention kernel plus ~9 XLA ops (3 projections +
+    head splits, merge matmul, concat, conv1, BN, ReLU, conv2, add)
+    whose HBM round trips cost ~30% of the eval forward (profiled; see
+    DESIGN.md). Reference layer semantics: ``models/mdgat.py:213-257``.
+
+    Weight prep outside (fused_layer_apply): per-head splits absorb the
+    torch channel interleave (c = d*H + h), the 1/sqrt(Dh) score scale is
+    folded into wq/bq, and eval BatchNorm into w1/b1. Concat-free
+    epilogue: merge(o) = sum_h o_h @ wm[h], and MLP(cat(x, m)) =
+    relu(x @ w1x + m @ w1m + b1) @ w2 + b2 — no relayouts, all MXU work.
+    """
+    out_dt = x_ref.dtype
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = x_ref.shape[1]
+    m = src_ref.shape[1]
+
+    xs = [x_ref[b].astype(dt) for b in range(block_b)]      # [N, D] each
+    srcs = [src_ref[b].astype(dt) for b in range(block_b)]  # [M, D]
+    rows, masks = [], []
+    for b in range(block_b):
+        kv_mask = mask_ref[b] > 0.5
+        for h in range(num_heads):
+            q = _dot(xs[b], wq_ref[h].astype(dt)) + bq_ref[h].astype(dt)
+            k = _dot(srcs[b], wk_ref[h].astype(dt)) + bk_ref[h].astype(dt)
+            rows.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            if has_mask:
+                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+    s = jnp.concatenate(rows, axis=0)
+    valid = None
+    if has_mask:
+        valid = jnp.concatenate(masks, axis=0)
+        s = jnp.where(valid, s, neg)
+
+    prob, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
+                            has_mask=has_mask)
+
+    w1x = w1x_ref[...].astype(dt)
+    w1m = w1m_ref[...].astype(dt)
+    w2 = w2_ref[...].astype(dt)
+    b1 = b1_ref[...].astype(dt)
+    b2 = b2_ref[...].astype(dt)
+    bm = bm_ref[...].astype(dt)
+    for b in range(block_b):
+        merged = bm
+        for h in range(num_heads):
+            v = _dot(srcs[b], wv_ref[h].astype(dt)) + bv_ref[h].astype(dt)
+            r0 = (b * num_heads + h) * n
+            o_h = _dot(prob[r0:r0 + n], v)             # [N, Dh]
+            merged = merged + _dot(o_h, wm_ref[h].astype(dt))
+        u = _dot(xs[b], w1x) + _dot(merged, w1m) + b1
+        u = jnp.maximum(u, 0.0)
+        delta = _dot(u, w2) + b2
+        o_ref[b] = (xs[b] + delta).astype(out_dt)
 
 
 def pallas_topk_attention(q, k, v, topk: Optional[int],
@@ -343,3 +418,112 @@ def _fused_bwd(topk, exact, res, g):
 
 
 fused_topk_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# whole-layer fused forward (eval)
+# ---------------------------------------------------------------------------
+
+def fused_layer_apply(layer_params, layer_state, x, source,
+                      topk: Optional[int], num_heads: int,
+                      kv_mask: Optional[jnp.ndarray] = None,
+                      exact: bool = False, interpret: bool = False):
+    """One AttentionalPropagation layer, fully fused (EVAL semantics:
+    BatchNorm folded to its running-stats affine). Returns the updated
+    descriptors ``x + MLP(cat(x, MHA(x, source)))``.
+
+    ``layer_params``: {"attn": {q,k,v,merge}, "mlp": [...]} as produced by
+    ``attentional_propagation_init``; ``layer_state``: {"mlp": [...]}.
+    Falls back to ``None`` return if the shape doesn't fit the fused
+    kernel's blocking (caller then uses the unfused path).
+    """
+    from mdgat_tpu.ops.mlp import BN_EPS
+
+    b, n, d = x.shape
+    m = source.shape[1]
+    h = num_heads
+    dh = d // h
+    # the merge epilogue needs every head in-program; bail out when the
+    # score block would not fit with all heads resident
+    if 3 * 2 * h * n * m * 4 > 13 * 1024 * 1024:
+        return None
+
+    f32 = jnp.float32
+    scale = 1.0 / (dh ** 0.5)
+
+    def head_split_in(p, fold_scale=False):
+        # projection OUTPUT channel c = d*H + h (torch view(B, dim, heads,
+        # N) channel interleave, models/mdgat.py:227): head h's kernel
+        # columns / bias entries stride by H
+        w = p["w"].astype(f32).reshape(d, dh, h).transpose(2, 0, 1)
+        bb_ = p["b"].astype(f32).reshape(dh, h).T[:, None, :]  # [H, 1, Dh]
+        if fold_scale:
+            w, bb_ = w * scale, bb_ * scale
+        return w, bb_
+
+    wq, bq = head_split_in(layer_params["attn"]["q"], fold_scale=True)
+    wk, bk = head_split_in(layer_params["attn"]["k"])
+    wv, bv = head_split_in(layer_params["attn"]["v"])
+
+    # merge weight, pre-split by head over its INPUT channels
+    wm_full = layer_params["attn"]["merge"]["w"].astype(f32)   # [D, D]
+    wm = wm_full.reshape(dh, h, d).transpose(1, 0, 2)          # [H, Dh, D]
+    bm = layer_params["attn"]["merge"]["b"].astype(f32)[None, :]
+
+    # MLP layer 1 (+ BN running-stats affine folded in), layer 2
+    l1, l2 = layer_params["mlp"][0], layer_params["mlp"][1]
+    st1 = layer_state["mlp"][0]
+    f = (l1["bn"]["scale"].astype(f32)
+         / jnp.sqrt(st1["var"].astype(f32) + BN_EPS))
+    w1 = l1["lin"]["w"].astype(f32) * f[None, :]               # [2D, 2D]
+    b1 = ((l1["lin"]["b"].astype(f32) - st1["mean"].astype(f32)) * f
+          + l1["bn"]["bias"].astype(f32))[None, :]
+    w1x, w1m = w1[:d], w1[d:]
+    w2 = l2["lin"]["w"].astype(f32)                            # [2D, D]
+    b2 = l2["lin"]["b"].astype(f32)[None, :]
+
+    if kv_mask is None:
+        maskf = jnp.ones((b, 1, m), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
+                                 (b, 1, m))
+
+    live = 5 if (exact and topk) else 3
+    budget = 13 * 1024 * 1024
+    bb = _BLOCK_B
+    while bb > 1 and live * bb * h * n * m * 4 > budget:
+        bb //= 2
+    while b % bb != 0:
+        bb //= 2
+
+    kern = functools.partial(_layer_kernel, topk=int(topk or 0),
+                             num_heads=h, block_b=bb,
+                             has_mask=kv_mask is not None, exact=exact)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, m, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            rep((h, d, dh)), rep((h, 1, dh)),
+            rep((h, d, dh)), rep((h, 1, dh)),
+            rep((h, d, dh)), rep((h, 1, dh)),
+            rep((h, dh, d)), rep((1, d)),
+            rep((d, 2 * d)), rep((d, 2 * d)), rep((1, 2 * d)),
+            rep((2 * d, d)), rep((1, d)),
+        ],
+        out_specs=pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, source, maskf, wq, bq, wk, bk, wv, bv, wm, bm,
+      w1x, w1m, b1, w2, b2)
+    return out

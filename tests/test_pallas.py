@@ -147,6 +147,38 @@ def test_pallas_attention_both_paths_match_xla(exact):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("topk,masked", [(None, False), (6, False),
+                                         (6, True)])
+def test_fused_layer_matches_unfused(topk, masked):
+    """Whole-layer fused kernel (attention + merge + folded-BN MLP +
+    residual) == the unfused eval path."""
+    import jax
+    from mdgat_tpu.models.gnn import (attentional_propagation_apply,
+                                      attentional_propagation_init)
+    from mdgat_tpu.ops.pallas.attention import fused_layer_apply
+    d, h = 32, 4
+    params, state = attentional_propagation_init(
+        jax.random.PRNGKey(3), d, h, dtype=jnp.float32)
+    # non-trivial running stats so the BN fold is actually exercised
+    state["mlp"][0] = {
+        "mean": jnp.asarray(RNG.normal(size=(2 * d,)) * 0.3, jnp.float32),
+        "var": jnp.asarray(RNG.uniform(0.5, 1.5, (2 * d,)), jnp.float32),
+    }
+    x = jnp.asarray(RNG.normal(size=(2, 16, d)), jnp.float32)
+    src = jnp.asarray(RNG.normal(size=(2, 24, d)), jnp.float32)
+    kv_mask = (jnp.asarray(np.arange(24)[None, :]
+                           < np.array([20, 17])[:, None]) if masked
+               else None)
+
+    delta, _ = attentional_propagation_apply(
+        params, state, x, src, topk, h, train=False, kv_mask=kv_mask)
+    ref = x + delta
+    got = fused_layer_apply(params, state, x, src, topk, h, kv_mask=kv_mask,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_attention_masked():
     q = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
     k = jnp.asarray(RNG.normal(size=(1, 2, 24, 8)), jnp.float32)
