@@ -86,6 +86,26 @@ def bench_tpu():
     per_ot = (time.time() - t0 - rtt) / 20
     log(f"sinkhorn: {per_ot * 1e3:.2f} ms / 20 iters x {BATCH} pairs -> "
         f"{20 * BATCH / per_ot:.0f} pair-iters/s")
+
+    # secondary metric: full training step at the reference train config
+    # (batch 64, N 512, bf16 GNN + f32 params, Adam). remat off: the
+    # custom-VJP attention stores only q/k/v + thresholds (not the dense
+    # [B,H,N,M] probs), so the config fits HBM without recompute
+    from mdgat_tpu.train import create_train_state, make_train_step
+    tmodel, _, _, tdata = g._flagship(
+        compute_dtype="bfloat16", param_dtype="float32",
+        n=512, batch=64, remat_gnn=False)
+    ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0), 1e-4)
+    tstep = make_train_step(tmodel, tx, donate=False)
+    ts, mtr = tstep(ts, tdata)
+    _ = np.asarray(mtr["loss"])
+    t0 = time.time()
+    for _ in range(5):
+        ts, mtr = tstep(ts, tdata)
+    _ = np.asarray(mtr["loss"])
+    per_train = (time.time() - t0 - rtt) / 5
+    log(f"train: {per_train * 1e3:.1f} ms/step @ reference config "
+        f"(batch 64, N 512) -> {64 / per_train:.0f} pairs/s")
     return pairs_per_sec
 
 

@@ -307,8 +307,14 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
     # 128 MB on v5e — but smaller blocks pipeline better; measured).
     # Shrink the per-program batch, then split heads, for large N*M (the
     # 1024-keypoint stretch config runs one head per program).
-    budget = 13 * 1024 * 1024
-    live = 5 if (exact and topk) else 3
+    # fast path: a larger budget keeps 2 batch elements per program at the
+    # N=512 train config (measured win); the exact path's extra live
+    # buffers pipeline better with smaller blocks (measured: 3.5k at 13 MB
+    # vs 3.1k at 45 MB for the eval config)
+    if exact and topk:
+        budget, live = 13 * 1024 * 1024, 5
+    else:
+        budget, live = 26 * 1024 * 1024, 3
     bb, hh = _BLOCK_B, h
     while bb > 1 and live * bb * hh * n * m * 4 > budget:
         bb //= 2
