@@ -78,6 +78,18 @@ class SparseDataset:
     def __init__(self, cfg: Config, mode: str):
         self.cfg = cfg
         self.mode = mode
+        # host->device transfer dtype for keypoint/descriptor arrays: the
+        # tunnel pays per byte, and the device immediately casts to the
+        # compute dtype anyway. Pose chains/T_gt stay float64 (the world-
+        # frame kpts are rounded to the GT dtype on device regardless).
+        self.host_dtype = (np.float64 if cfg.compute_dtype == "float64"
+                           else np.float32)
+        # descriptors dominate the upload (33 channels). float16 shipping
+        # (~5e-4 relative error) was measured to flip ~1 match per pair on
+        # near-tie-dense inputs — kept at the full host dtype for parity
+        # with the f32 pipeline; prepare still upcasts f16 if a caller
+        # opts in by overriding this attribute.
+        self.desc_dtype = self.host_dtype
         self.pairs, self.seq_list = kitti.make_dataset_kitti_distance(
             cfg.txt_path, mode)
         self.calib: Dict[str, np.ndarray] = {}
@@ -156,27 +168,34 @@ class SparseDataset:
         Tcv = self.calib[s].astype(np.float64)
         # T_gt maps kp1 -> kp0 frame (load_data.py:238)
         T_gt = np.linalg.inv(Tcv) @ np.linalg.inv(pose0) @ pose1 @ Tcv
-        # world-frame keypoints (load_data.py:241-245)
+        # world-frame transforms (load_data.py:241-245)
         M0 = pose0 @ Tcv
         M1 = pose1 @ Tcv
-        kp0w = kp0.astype(np.float64) @ M0[:3, :3].T + M0[:3, 3]
-        kp1w = kp1.astype(np.float64) @ M1[:3, :3].T + M1[:3, 3]
 
         mask0 = np.zeros(len(kp0), bool); mask0[:n0] = True
         mask1 = np.zeros(len(kp1), bool); mask1[:n1] = True
+        hdt = self.host_dtype
         extra = {}
         if self.cfg.descriptor in ("pointnet", "pointnetmsg"):
-            extra["cloud0"] = self._load_cloud(s, i0).astype(np.float64)
-            extra["cloud1"] = self._load_cloud(s, i1).astype(np.float64)
+            extra["cloud0"] = self._load_cloud(s, i0).astype(hdt)
+            extra["cloud1"] = self._load_cloud(s, i1).astype(hdt)
+        # world kpts in float64 on host (pose chains over km-scale KITTI
+        # coordinates need it — f32 matmuls here shift GT boundary pairs
+        # by up to ~0.1 m, measured); shipped at the host dtype, which for
+        # f32 modes is bit-identical to the device-side f64->f32 cast the
+        # GT generator applies anyway
+        extra["kpts0_world"] = (kp0.astype(np.float64) @ M0[:3, :3].T
+                                + M0[:3, 3]).astype(hdt)
+        extra["kpts1_world"] = (kp1.astype(np.float64) @ M1[:3, :3].T
+                                + M1[:3, 3]).astype(hdt)
         return {
             **extra,
-            "keypoints0": kp0.astype(np.float64),
-            "keypoints1": kp1.astype(np.float64),
-            "scores0": sc0.astype(np.float64),
-            "scores1": sc1.astype(np.float64),
-            "descriptors0": de0.astype(np.float64),
-            "descriptors1": de1.astype(np.float64),
-            "kpts0_world": kp0w, "kpts1_world": kp1w,
+            "keypoints0": kp0.astype(hdt),
+            "keypoints1": kp1.astype(hdt),
+            "scores0": sc0.astype(hdt),
+            "scores1": sc1.astype(hdt),
+            "descriptors0": de0.astype(self.desc_dtype),
+            "descriptors1": de1.astype(self.desc_dtype),
             "mask0": mask0, "mask1": mask1,
             "T_gt": T_gt, "sequence": s, "idx0": i0, "idx1": i1,
         }
@@ -272,6 +291,11 @@ def prepare_batch_fn(threshold: float, mutual_check: bool,
 
     @jax.jit
     def prepare(kp0, kp1, sc0, sc1, de0, de1, kp0w, kp1w, mask0, mask1):
+        # descriptors may arrive float16 (transfer compression); normalize
+        # in >= float32 regardless
+        if de0.dtype == jnp.float16:
+            de0 = de0.astype(jnp.float32)
+            de1 = de1.astype(jnp.float32)
         n0 = jnp.linalg.norm(de0, axis=-1, keepdims=True)
         n1 = jnp.linalg.norm(de1, axis=-1, keepdims=True)
         de0n = de0 / jnp.maximum(n0, 1e-30)

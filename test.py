@@ -28,8 +28,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
-    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.data import SparseDataset, prepare_batch_fn
     from mdgat_tpu.eval import TestEvalAccumulator
+    from mdgat_tpu.eval.runner import EvalPipeline
     from mdgat_tpu.models import build_model
     from mdgat_tpu.train import make_eval_step
 
@@ -65,15 +66,16 @@ def main():
     acc = TestEvalAccumulator()
     t0 = time.time()
 
-    for batch in test_set.batches(cfg.batch_size, shuffle=False,
-                                  drop_last=False):
-        prepared = prepare(batch)
-        out = eval_step(params, bn_state, model_inputs(prepared))
-        # pull back only the small outputs; keypoints/masks are already
-        # host-resident in `batch` (the tunnel makes bulk readbacks slow)
-        out = jax.device_get(out)
-        gt_host = jax.device_get({"gt_matches0": prepared["gt_matches0"],
-                                  "gt_matches1": prepared["gt_matches1"]})
+    # three-stage pipeline: producer-thread IO/batching, async device
+    # dispatch, one-batch-delayed readback (see eval/runner.py). Only the
+    # small outputs ride the tunnel; keypoints/masks are already
+    # host-resident in `batch`.
+    fetch = (("matches0", "matching_scores0") if args.visualize
+             else ("matches0",))
+    pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
+                            cfg.batch_size, fetch=fetch)
+    for batch, out in pipeline:
+        gt_host = out
 
         for b in range(len(batch["idx0"])):
             mask = np.asarray(batch["mask0"][b])
@@ -81,7 +83,8 @@ def main():
             kpts0 = np.asarray(batch["keypoints0"][b])[mask]
             kpts1 = np.asarray(batch["keypoints1"][b])[mask1]
             matches = np.asarray(out["matches0"][b])[mask]
-            conf = np.asarray(out["matching_scores0"][b])[mask]
+            conf = (np.asarray(out["matching_scores0"][b])[mask]
+                    if "matching_scores0" in out else None)
             gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
             idx = batch["idx0"][b]
 

@@ -22,9 +22,10 @@ def main():
     import jax
     import jax.numpy as jnp
     from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
-    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.data import SparseDataset, prepare_batch_fn
     from mdgat_tpu.eval import (AverageMeter, matching_metrics, pose_metrics,
                                 registration_summary)
+    from mdgat_tpu.eval.runner import EvalPipeline
     from mdgat_tpu.models import build_model
     from mdgat_tpu.train import make_eval_step
 
@@ -59,13 +60,13 @@ def main():
     meters["RR"] = AverageMeter()
     baned_data = 0
     n_pairs = 0
+    import time
+    t0 = time.time()
 
-    for batch in test_set.batches(cfg.batch_size, shuffle=False,
-                                  drop_last=False):
-        prepared = prepare(batch)
-        out = jax.device_get(eval_step(params, bn_state, model_inputs(prepared)))
-        gt_host = jax.device_get({"gt_matches0": prepared["gt_matches0"],
-                                  "gt_matches1": prepared["gt_matches1"]})
+    pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
+                            cfg.batch_size, fetch=("matches0",))
+    for batch, out in pipeline:
+        gt_host = out
 
         for b in range(len(batch["idx0"])):
             n_pairs += 1
@@ -138,6 +139,9 @@ def main():
               s["recall"], s["F1"], s["fp_rate"], s["tp_rate"],
               s["RTE"], s["RRE"]))
     print("baned_data {}".format(baned_data / max(n_pairs, 1)))
+    dt = time.time() - t0
+    print(f"[timing] {n_pairs} pairs in {dt:.2f}s = "
+          f"{n_pairs / dt:.1f} pairs/s")
 
 
 if __name__ == "__main__":

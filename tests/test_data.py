@@ -44,7 +44,7 @@ def test_dataset_reads_synthetic_layout(kitti_root):
 
 def test_prepare_batch_generates_gt_matches(kitti_root):
     root, kp_dir = kitti_root
-    cfg = _cfg(root, kp_dir)
+    cfg = _cfg(root, kp_dir, compute_dtype="float64", param_dtype="float64")
     ds = SparseDataset(cfg, "train")
     batch = next(ds.batches(batch_size=2))
     prep = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
@@ -62,14 +62,54 @@ def test_prepare_batch_generates_gt_matches(kitti_root):
         assert int(out["rep"][b]) == rep
 
 
-def test_prepare_batch_normalizes_descriptors(kitti_root):
+def test_f32_transfer_world_kpts_match_f64_cast(kitti_root):
+    """Non-f64 modes still compute world kpts in f64 on host and ship f32
+    — bit-identical to the f64-ship + device-side f32 cast, so the GT
+    generator sees the same values either way (0.5 m boundary pairs must
+    not shift; on-device f32 pose matmuls were measured to move them by
+    up to ~0.1 m at KITTI world scale)."""
     root, kp_dir = kitti_root
-    cfg = _cfg(root, kp_dir)
+    cfg64 = _cfg(root, kp_dir, compute_dtype="float64",
+                 param_dtype="float64")
+    cfg32 = _cfg(root, kp_dir)
+    b64 = next(SparseDataset(cfg64, "train").batches(batch_size=2))
+    b32 = next(SparseDataset(cfg32, "train").batches(batch_size=2))
+    assert b32["kpts0_world"].dtype == np.float32
+    np.testing.assert_array_equal(
+        b64["kpts0_world"].astype(np.float32), b32["kpts0_world"])
+    out64 = prepare_batch_fn(cfg64.threshold, False, "float64",
+                             "float32")(b64)
+    out32 = prepare_batch_fn(cfg32.threshold, False, "float32",
+                             "float32")(b32)
+    np.testing.assert_array_equal(np.asarray(out64["gt_matches0"]),
+                                  np.asarray(out32["gt_matches0"]))
+
+
+def test_prepare_batch_normalizes_descriptors(kitti_root):
+    # float64 mode ships lossless host arrays (the parity path)
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir, compute_dtype="float64",
+               param_dtype="float64")
     ds = SparseDataset(cfg, "train")
     batch = next(ds.batches(batch_size=2))
+    assert batch["descriptors0"].dtype == np.float64
     out = prepare_batch_fn(cfg.threshold, False, "float64", "float64")(batch)
     norms = np.linalg.norm(np.asarray(out["descriptors0"]), axis=-1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-9)
+
+
+def test_prepare_batch_float16_descriptor_transfer(kitti_root):
+    # opt-in float16 descriptor shipping (tunnel-bandwidth bound):
+    # normalization still runs in float32 and stays ~f16-exact
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir)
+    ds = SparseDataset(cfg, "train")
+    ds.desc_dtype = np.float16
+    batch = next(ds.batches(batch_size=2))
+    assert batch["descriptors0"].dtype == np.float16
+    out = prepare_batch_fn(cfg.threshold, False, "float32", "float32")(batch)
+    norms = np.linalg.norm(np.asarray(out["descriptors0"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
 def test_variable_n_padding_with_masks(kitti_root):
