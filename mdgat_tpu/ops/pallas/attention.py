@@ -449,10 +449,6 @@ def fused_layer_apply(layer_params, layer_state, x, source,
     m = source.shape[1]
     h = num_heads
     dh = d // h
-    # the merge epilogue needs every head in-program; bail out when the
-    # score block would not fit with all heads resident
-    if 3 * 2 * h * n * m * 4 > 13 * 1024 * 1024:
-        return None
 
     f32 = jnp.float32
     scale = 1.0 / (dh ** 0.5)
@@ -494,28 +490,37 @@ def fused_layer_apply(layer_params, layer_state, x, source,
         maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
                                  (b, 1, m))
 
+    # blocking: batch first, then the QUERY axis (every output row depends
+    # only on its own attention row + row-wise MLP, so query blocking is
+    # exact); k/v/source stay whole per program — the 1024-kpt stretch
+    # config runs (bb=1, nblk=512) instead of falling back to the unfused
+    # path. All heads stay in-program (the merge epilogue needs them).
     live = 5 if (exact and topk) else 3
     budget = 13 * 1024 * 1024
-    bb = _BLOCK_B
-    while bb > 1 and live * bb * h * n * m * 4 > budget:
+    bb, nblk = _BLOCK_B, n
+    while bb > 1 and live * bb * h * nblk * m * 4 > budget:
         bb //= 2
     while b % bb != 0:
         bb //= 2
+    while nblk > 128 and nblk % 2 == 0 and live * bb * h * nblk * m * 4 > budget:
+        nblk //= 2
+    if n % nblk != 0:
+        return None  # query axis not evenly blockable (callers unfuse)
 
     kern = functools.partial(_layer_kernel, topk=int(topk or 0),
                              num_heads=h, block_b=bb,
                              has_mask=kv_mask is not None, exact=exact)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+    rep = lambda shape: pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
                                      memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(b // bb,),
+        grid=(b // bb, n // nblk),
         in_specs=[
-            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, nblk, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, m, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, m, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, m), lambda i: (i, 0, 0),
+            pl.BlockSpec((bb, 1, m), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             rep((h, d, dh)), rep((h, 1, dh)),
             rep((h, d, dh)), rep((h, 1, dh)),
@@ -524,7 +529,7 @@ def fused_layer_apply(layer_params, layer_state, x, source,
             rep((d, 2 * d)), rep((d, 2 * d)), rep((1, 2 * d)),
             rep((2 * d, d)), rep((1, d)),
         ],
-        out_specs=pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bb, nblk, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
         compiler_params=pltpu.CompilerParams(

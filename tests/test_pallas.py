@@ -179,6 +179,31 @@ def test_fused_layer_matches_unfused(topk, masked):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_layer_query_blocking():
+    """At stretch shapes the fused layer blocks over the QUERY axis
+    (grid (b, n/nblk)); results must equal the unblocked path — query
+    blocking is exact since each output row is independent."""
+    import jax
+    from mdgat_tpu.models.gnn import (attentional_propagation_apply,
+                                      attentional_propagation_init)
+    from mdgat_tpu.ops.pallas.attention import fused_layer_apply
+    d, h, n = 32, 4, 1024           # forces nblk=256 under the VMEM budget
+    params, state = attentional_propagation_init(
+        jax.random.PRNGKey(7), d, h, dtype=jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(1, n, d)), jnp.float32)
+    src = jnp.asarray(RNG.normal(size=(1, n, d)), jnp.float32)
+    # dense and exact-top-k selections are deterministic, so blocked ==
+    # unblocked to fp tolerance (the FAST bisection's near-tie extras grow
+    # with M and are covered by the agreement measurements instead)
+    for topk, exact in ((None, False), (16, True)):
+        delta, _ = attentional_propagation_apply(
+            params, state, x, src, topk, h, train=False)
+        got = fused_layer_apply(params, state, x, src, topk, h,
+                                exact=exact, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x + delta),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_pallas_attention_masked():
     q = jnp.asarray(RNG.normal(size=(1, 2, 8, 8)), jnp.float32)
     k = jnp.asarray(RNG.normal(size=(1, 2, 24, 8)), jnp.float32)
