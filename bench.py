@@ -88,13 +88,13 @@ def bench_tpu():
         f"{20 * BATCH / per_ot:.0f} pair-iters/s")
 
     # secondary metric: full training step at the reference train config
-    # (batch 64, N 512, bf16 GNN + f32 params, Adam). remat off: the
-    # custom-VJP attention stores only q/k/v + thresholds (not the dense
-    # [B,H,N,M] probs), so the config fits HBM without recompute
+    # (batch 64, N 512, bf16 GNN + f32 params, Adam, remat). With the
+    # fully-fused Pallas backward, remat recompute is cheaper than the
+    # HBM residual traffic it avoids (127 vs 152 ms/step measured)
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",
-        n=512, batch=64, remat_gnn=False)
+        n=512, batch=64, remat_gnn=True)
     ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0), 1e-4)
     tstep = make_train_step(tmodel, tx, donate=False)
     ts, mtr = tstep(ts, tdata)

@@ -390,37 +390,99 @@ def _fused_fwd(q, k, v, topk, kv_mask, exact):
     return out, (q, k, v, thr, kv_mask)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, thr_ref, mask_ref, g_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float,
+                     num_heads: int, block_b: int, has_mask: bool):
+    """Masked-softmax attention VJP with every [N, M] intermediate
+    (scores, keep, p, dp, ds) VMEM-resident. The XLA backward round-trips
+    ~5 dense f32 [B,H,N,M] tensors through HBM per layer (≈5 GB/layer at
+    the reference train config); here only q/k/v/g/thr and the gradients
+    touch HBM. Selection is frozen at the forward's threshold — the same
+    constant-selection semantics as the reference's scatter backward
+    (``models/mdgat.py:196-210``)."""
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = q_ref.shape[2]
+    m = k_ref.shape[2]
+    for b in range(block_b):
+        kv = (mask_ref[b] > 0.5) if has_mask else None   # [1, M]
+        for h in range(num_heads):
+            q = q_ref[b, h].astype(dt)                   # [N, Dh]
+            k = k_ref[b, h].astype(dt)                   # [M, Dh]
+            v = v_ref[b, h].astype(dt)
+            g = g_ref[b, h].astype(dt)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            keep = s >= thr_ref[b, h]                    # [N, M]
+            if has_mask:
+                keep = keep & jnp.broadcast_to(kv, (n, m))
+            s_m = jnp.where(keep, s, neg)
+            mx = jnp.max(s_m, axis=1, keepdims=True)
+            e = jnp.exp(s_m - mx) * keep.astype(dt)
+            p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                                jnp.asarray(1e-38, dt))
+            dv = jax.lax.dot_general(                    # p^T @ g [M, Dh]
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(                    # g @ v^T [N, M]
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq = jax.lax.dot_general(                    # ds @ k [N, Dh]
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(                    # ds^T @ q [M, Dh]
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq_ref[b, h] = dq.astype(dq_ref.dtype)
+            dk_ref[b, h] = dk.astype(dk_ref.dtype)
+            dv_ref[b, h] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attn_bwd(q, k, v, thr, kv_mask, g, interpret: bool):
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    if kv_mask is None:
+        maskf = jnp.ones((b, 1, m), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
+                                 (b, 1, m))
+    # ~5 live [n, m] f32 temporaries per (b, h) iteration
+    budget = 13 * 1024 * 1024
+    bb = _BLOCK_B
+    while bb > 1 and 5 * bb * n * m * 4 > budget:
+        bb //= 2
+    while b % bb != 0:
+        bb //= 2
+    kern = functools.partial(_attn_bwd_kernel, scale=1.0 / (d ** 0.5),
+                             num_heads=h, block_b=bb,
+                             has_mask=kv_mask is not None)
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
+        len(shape) - 1), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[blk((bb, h, n, d)), blk((bb, h, m, d)),
+                  blk((bb, h, m, d)), blk((bb, h, n, 1)),
+                  blk((bb, 1, m)), blk((bb, h, n, d))],
+        out_specs=[blk((bb, h, n, d)), blk((bb, h, m, d)),
+                   blk((bb, h, m, d))],
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, h, m, d), k.dtype),
+                   jax.ShapeDtypeStruct((b, h, m, d), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, thr, maskf, g)
+    return dq, dk, dv
+
+
 def _fused_bwd(topk, exact, res, g):
     q, k, v, thr, kv_mask = res
-    dt = jnp.float32
-    d = q.shape[-1]
-    scale = 1.0 / (d ** 0.5)
-    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                   preferred_element_type=dt).astype(dt) * scale
-    neg = jnp.asarray(BIG_NEG, dt)
-    if kv_mask is not None:
-        s = jnp.where(kv_mask[:, None, None, :], s, neg)
-    keep = s >= thr                       # thr = -1e30 for dense layers
-    if kv_mask is not None:
-        keep = keep & kv_mask[:, None, None, :]
-    s_m = jnp.where(keep, s, neg)
-    mx = jnp.max(s_m, axis=-1, keepdims=True)
-    e = jnp.exp(s_m - mx) * keep.astype(dt)
-    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True),
-                        jnp.asarray(1e-38, dt))
-    gf = g.astype(dt)
-    vf = v.astype(dt)
-    dv = jnp.einsum("bhnm,bhnd->bhmd", p, gf,
-                    preferred_element_type=dt)
-    dp = jnp.einsum("bhnd,bhmd->bhnm", gf, vf,
-                    preferred_element_type=dt)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(dt),
-                    preferred_element_type=dt) * scale
-    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(dt),
-                    preferred_element_type=dt) * scale
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None)
+    interp = jax.default_backend() == "cpu"
+    dq, dk, dv = _pallas_attn_bwd(q, k, v, thr, kv_mask, g, interp)
+    return dq, dk, dv, None
 
 
 fused_topk_attention.defvjp(_fused_fwd, _fused_bwd)
