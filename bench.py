@@ -90,7 +90,8 @@ def bench_tpu():
     # secondary metric: full training step at the reference train config
     # (batch 64, N 512, bf16 GNN + f32 params, Adam, remat). With the
     # fully-fused Pallas backward, remat recompute is cheaper than the
-    # HBM residual traffic it avoids (127 vs 152 ms/step measured)
+    # HBM residual traffic it avoids (127 vs 152 ms/step measured);
+    # the replayed-backward Pallas Sinkhorn VJP brings it to 111.5 ms
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",

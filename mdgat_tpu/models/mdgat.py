@@ -158,11 +158,13 @@ class MDGAT:
                 desc1 = jax.lax.stop_gradient(desc1)
 
         # Pallas fused kernels. Attention has a custom VJP (sort-free
-        # backward) so it serves training too; the Sinkhorn kernel is
-        # forward-only (training keeps the differentiable XLA scan). CPU
-        # lacks the Mosaic backend — fall back to the XLA versions.
+        # backward) so it serves training too; Sinkhorn has a forward-only
+        # kernel for eval and a replayed-backward custom VJP for training
+        # (exact backprop through the iterations — reference semantics,
+        # ``models/mdgat.py:279-285`` under autograd). CPU lacks the Mosaic
+        # backend — fall back to the XLA versions.
         on_accel = jax.default_backend() != "cpu"
-        use_pallas = cfg.use_pallas and on_accel and not train
+        use_pallas = cfg.use_pallas and on_accel
         pallas_attn = cfg.pallas_attention and on_accel
         if pallas_attn and cfg.pallas_exact_topk:
             pallas_attn = "exact"
@@ -192,7 +194,13 @@ class MDGAT:
         scores = scores.astype(ot_dtype)
         scores = scores / jnp.asarray(cfg.descriptor_dim, scores.dtype) ** 0.5
 
-        if use_pallas:
+        if use_pallas and train:
+            from mdgat_tpu.ops.pallas import (
+                pallas_log_optimal_transport_trainable)
+            ot = pallas_log_optimal_transport_trainable(
+                scores, params["bin_score"].astype(scores.dtype),
+                cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
+        elif use_pallas:
             from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
             ot = pallas_log_optimal_transport(
                 scores, params["bin_score"].astype(scores.dtype),

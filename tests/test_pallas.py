@@ -44,6 +44,73 @@ def test_pallas_sinkhorn_masked():
                                np.asarray(ref.corner), rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("masked", [False, True])
+def test_pallas_sinkhorn_grad_matches_xla(masked):
+    """The replayed-backward custom VJP equals jax.grad of the XLA scan
+    (exact backprop through the iterations, just VMEM-fused)."""
+    from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
+
+    b, n, m = 2, 16, 24
+    scores = jnp.asarray(RNG.normal(size=(b, n, m)), jnp.float32)
+    alpha = jnp.asarray(0.7, jnp.float32)
+    if masked:
+        rm = np.zeros((b, n), bool); rm[0, :11] = True; rm[1, :] = True
+        cm = np.zeros((b, m), bool); cm[0, :17] = True; cm[1, :20] = True
+        rm, cm = jnp.asarray(rm), jnp.asarray(cm)
+    else:
+        rm = cm = None
+    # weight every output component so all four cotangents are exercised;
+    # zero the weights on padded entries (the loss functions mask them)
+    wd = jnp.asarray(RNG.normal(size=(b, n, m)), jnp.float32)
+    wr = jnp.asarray(RNG.normal(size=(b, m)), jnp.float32)
+    wc = jnp.asarray(RNG.normal(size=(b, n)), jnp.float32)
+    wk = jnp.asarray(RNG.normal(size=(b,)), jnp.float32)
+    if masked:
+        wd = wd * (rm[:, :, None] & cm[:, None, :])
+        wr = wr * cm
+        wc = wc * rm
+
+    def loss(fn, s, a):
+        ot = fn(s, a, 9, row_mask=rm, col_mask=cm)
+        return (jnp.sum(ot.dense * wd) + jnp.sum(ot.bin_row * wr)
+                + jnp.sum(ot.bin_col * wc) + jnp.sum(ot.corner * wk))
+
+    ref_ds, ref_da = jax.grad(
+        lambda s, a: loss(log_optimal_transport, s, a), (0, 1))(scores, alpha)
+    got_ds, got_da = jax.grad(
+        lambda s, a: loss(
+            lambda *ar, **kw: pallas_log_optimal_transport_trainable(
+                *ar, interpret=True, **kw), s, a), (0, 1))(scores, alpha)
+    np.testing.assert_allclose(np.asarray(got_ds), np.asarray(ref_ds),
+                               rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_da), np.asarray(ref_da),
+                               rtol=3e-5, atol=1e-6)
+    # forward value parity of the trainable wrapper
+    ref_ot = log_optimal_transport(scores, alpha, 9, row_mask=rm, col_mask=cm)
+    got_ot = pallas_log_optimal_transport_trainable(
+        scores, alpha, 9, row_mask=rm, col_mask=cm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_ot.dense),
+                               np.asarray(ref_ot.dense), rtol=2e-5, atol=1e-5)
+
+
+def test_pallas_sinkhorn_trainable_vmem_fallback():
+    """Over-budget shapes route to the XLA scan (still differentiable)."""
+    from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
+
+    scores = jnp.asarray(RNG.normal(size=(1, 8, 8)), jnp.float64)
+    import mdgat_tpu.ops.pallas.sinkhorn as sk
+    old = sk._TRAIN_VMEM_BUDGET
+    try:
+        sk._TRAIN_VMEM_BUDGET = 1  # force the fallback
+        g = jax.grad(lambda s: jnp.sum(
+            pallas_log_optimal_transport_trainable(s, 1.0, 5).dense))(scores)
+    finally:
+        sk._TRAIN_VMEM_BUDGET = old
+    ref = jax.grad(lambda s: jnp.sum(
+        log_optimal_transport(s, 1.0, 5).dense))(scores)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=1e-12)
+
+
 @pytest.mark.parametrize("topk", [None, 6])
 def test_pallas_attention_matches_xla(topk):
     q = jnp.asarray(RNG.normal(size=(2, 2, 16, 8)), jnp.float32)
