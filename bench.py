@@ -88,14 +88,16 @@ def bench_tpu():
         f"{20 * BATCH / per_ot:.0f} pair-iters/s")
 
     # secondary metric: full training step at the reference train config
-    # (batch 64, N 512, bf16 GNN + f32 params, Adam, remat). With the
-    # fully-fused Pallas backward, remat recompute is cheaper than the
-    # HBM residual traffic it avoids (127 vs 152 ms/step measured);
-    # the replayed-backward Pallas Sinkhorn VJP brings it to 111.5 ms
+    # (batch 64, N 512, bf16 GNN + f32 params, Adam, remat). Round-2
+    # progression (measured): fused Pallas attention backward 367 -> 127;
+    # replayed-backward Pallas Sinkhorn VJP -> 111.5; selective remat
+    # policy (save attn out+thr, recompute glue) -> 107.9; unrolled GNN
+    # (scan_gnn_pairs=False: no per-iteration stacked-param slicing)
+    # -> 97.7 ms/step
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",
-        n=512, batch=64, remat_gnn=True)
+        n=512, batch=64, remat_gnn=True, scan_gnn_pairs=False)
     ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0), 1e-4)
     tstep = make_train_step(tmodel, tx, donate=False)
     ts, mtr = tstep(ts, tdata)

@@ -89,6 +89,10 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
     p.add_argument("--seq_parallel", type=int, default=1)
     p.add_argument("--use_pallas", type=_parse_bool, default=True)
     p.add_argument("--pallas_attention", type=_parse_bool, default=True)
+    p.add_argument("--scan_gnn_pairs", type=_parse_bool, default=True,
+                   help="lax.scan over equal-signature GNN layer pairs "
+                        "(fast compiles); false unrolls the stack — "
+                        "~10% faster train step on TPU, slower compile")
     p.add_argument("--pallas_exact_topk", type=_parse_bool, default=False,
                    help="bit-exact top-k selection in the fused kernel")
     p.add_argument("--synthetic", type=_parse_bool, default=False,
@@ -142,6 +146,7 @@ def config_from_args(args, preset: str) -> Config:
         use_pallas=args.use_pallas,
         pallas_attention=args.pallas_attention,
         pallas_exact_topk=args.pallas_exact_topk,
+        scan_gnn_pairs=args.scan_gnn_pairs,
         seed=args.seed,
     )
     if cfg.net == "raw":

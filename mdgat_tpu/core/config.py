@@ -72,6 +72,8 @@ class Config:
                                      # selection (~1.6x slower eval fwd)
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
+    scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer
+                                    # pairs (fast compiles); False unrolls
     seed: int = 0
 
     # ------------------------------------------------------------------

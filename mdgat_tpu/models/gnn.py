@@ -119,11 +119,17 @@ def gnn_apply(params, states, desc0, desc1,
     are identical to the unrolled loop.
 
     ``remat``: checkpoint each layer pair — the backward pass recomputes
-    attention instead of storing 2L dense [B,H,N,M] probability matrices
+    the layer instead of storing 2L dense [B,H,N,M] probability matrices
     (~10 GB at the reference train config of batch 64 / N 512, which
     overflows a 16 GB chip; the reference spread this over 4 GPUs via
-    DataParallel).
+    DataParallel). The policy keeps the Pallas attention output and its
+    per-row threshold (tagged in ``_fused_fwd``) so the replay skips the
+    attention kernel and recomputes only projections/merge/MLP; with the
+    XLA attention path no tags exist and the policy degrades to full
+    remat.
     """
+    remat_policy = jax.checkpoint_policies.save_only_these_names(
+        "attn_out", "attn_thr")
     n_layers = len(params)
     if not scan_pairs or n_layers % 2 != 0:
         new_states = []
@@ -131,7 +137,8 @@ def gnn_apply(params, states, desc0, desc1,
             fn = _apply_layer
             if remat:
                 fn = jax.checkpoint(_apply_layer,
-                                    static_argnums=(4, 5, 6, 7, 10))
+                                    static_argnums=(4, 5, 6, 7, 10),
+                                    policy=remat_policy)
             desc0, desc1, st = fn(
                 params[i], states[i], desc0, desc1, layer_names[i],
                 k_schedule[i], num_heads, train, mask0, mask1, use_pallas)
@@ -164,7 +171,7 @@ def gnn_apply(params, states, desc0, desc1,
             return d0, d1, sA2, sB2
 
         if remat:
-            pair_step = jax.checkpoint(pair_step)
+            pair_step = jax.checkpoint(pair_step, policy=remat_policy)
 
         if count == 1:
             desc0, desc1, sA2, sB2 = pair_step(

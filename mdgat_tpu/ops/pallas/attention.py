@@ -387,6 +387,15 @@ def _fused_fwd_impl(q, k, v, topk, kv_mask, exact):
 
 def _fused_fwd(q, k, v, topk, kv_mask, exact):
     out, thr = _fused_fwd_impl(q, k, v, topk, kv_mask, exact)
+    # checkpoint_name tags: under jax.checkpoint(..., policy=
+    # save_only_these_names("attn_out", "attn_thr")) the remat replay keeps
+    # the kernel output and the per-row threshold and recomputes only the
+    # cheap XLA glue (projections, merge, MLP) — the bisection+softmax+PV
+    # kernel does not run a second time in the backward. No-ops without
+    # such a policy.
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "attn_out")
+    thr = checkpoint_name(thr, "attn_thr")
     return out, (q, k, v, thr, kv_mask)
 
 

@@ -45,6 +45,14 @@ def test_k_flag_accepts_reference_syntax():
     assert args.k is None
 
 
+def test_scan_gnn_pairs_flag():
+    args = build_parser("train").parse_args(["--scan_gnn_pairs", "false"])
+    cfg = config_from_args(args, "train")
+    assert cfg.scan_gnn_pairs is False
+    assert config_from_args(
+        build_parser("train").parse_args([]), "train").scan_gnn_pairs is True
+
+
 def test_raw_net_forces_full_attention():
     args = build_parser("train").parse_args(["--net", "raw"])
     cfg = config_from_args(args, "train")

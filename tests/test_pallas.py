@@ -50,8 +50,10 @@ def test_pallas_sinkhorn_grad_matches_xla(masked):
     (exact backprop through the iterations, just VMEM-fused)."""
     from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
 
+    rng = np.random.default_rng(71 + masked)  # own stream: the shared
+    # module RNG's draw order is load-bearing for later near-tie tests
     b, n, m = 2, 16, 24
-    scores = jnp.asarray(RNG.normal(size=(b, n, m)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(b, n, m)), jnp.float32)
     alpha = jnp.asarray(0.7, jnp.float32)
     if masked:
         rm = np.zeros((b, n), bool); rm[0, :11] = True; rm[1, :] = True
@@ -61,10 +63,10 @@ def test_pallas_sinkhorn_grad_matches_xla(masked):
         rm = cm = None
     # weight every output component so all four cotangents are exercised;
     # zero the weights on padded entries (the loss functions mask them)
-    wd = jnp.asarray(RNG.normal(size=(b, n, m)), jnp.float32)
-    wr = jnp.asarray(RNG.normal(size=(b, m)), jnp.float32)
-    wc = jnp.asarray(RNG.normal(size=(b, n)), jnp.float32)
-    wk = jnp.asarray(RNG.normal(size=(b,)), jnp.float32)
+    wd = jnp.asarray(rng.normal(size=(b, n, m)), jnp.float32)
+    wr = jnp.asarray(rng.normal(size=(b, m)), jnp.float32)
+    wc = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(b,)), jnp.float32)
     if masked:
         wd = wd * (rm[:, :, None] & cm[:, None, :])
         wr = wr * cm
@@ -97,7 +99,7 @@ def test_pallas_sinkhorn_trainable_vmem_fallback():
     """Over-budget shapes route to the XLA scan (still differentiable)."""
     from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
 
-    scores = jnp.asarray(RNG.normal(size=(1, 8, 8)), jnp.float64)
+    scores = jnp.asarray(np.random.default_rng(73).normal(size=(1, 8, 8)), jnp.float64)
     import mdgat_tpu.ops.pallas.sinkhorn as sk
     old = sk._TRAIN_VMEM_BUDGET
     try:
