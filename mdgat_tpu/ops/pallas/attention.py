@@ -135,6 +135,9 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         hi = jnp.max(s, axis=1, keepdims=True)
 
         def fbisect(_, carry):
+            # NB: routing this count through the MXU as a ones-matvec was
+            # measured SLOWER (9.66 vs 8.05 ms/step eval) — Mosaic already
+            # fuses the compare+reduce into one VPU pass
             lo, hi = carry
             mid = (lo + hi) * 0.5
             cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)

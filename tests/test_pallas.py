@@ -95,6 +95,24 @@ def test_pallas_sinkhorn_grad_matches_xla(masked):
                                np.asarray(ref_ot.dense), rtol=2e-5, atol=1e-5)
 
 
+def test_pallas_sinkhorn_multi_element_blocks():
+    """batch 8 exercises the 8-elements-per-program kernel blocking
+    (eb=8); per-element results must match the per-element XLA scan."""
+    rng = np.random.default_rng(77)
+    scores = jnp.asarray(rng.normal(size=(8, 16, 24)), jnp.float32)
+    rm = jnp.asarray(rng.random((8, 16)) < 0.8)
+    cm = jnp.asarray(rng.random((8, 24)) < 0.8)
+    ref = log_optimal_transport(scores, 0.3, 8, row_mask=rm, col_mask=cm)
+    got = pallas_log_optimal_transport(scores, 0.3, 8, row_mask=rm,
+                                       col_mask=cm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.dense), np.asarray(ref.dense),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.bin_row),
+                               np.asarray(ref.bin_row), rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.corner),
+                               np.asarray(ref.corner), rtol=2e-5, atol=1e-5)
+
+
 def test_pallas_sinkhorn_trainable_vmem_fallback():
     """Over-budget shapes route to the XLA scan (still differentiable)."""
     from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
