@@ -186,6 +186,34 @@ def test_gnn_scan_equals_unrolled():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
 
 
+def test_gnn_remat_gradient_equivalence():
+    """remat (with the selective save_only_these_names policy) must give
+    the same loss AND gradients as the unrematerialized path, for both
+    the scanned and unrolled layer stacks."""
+    from mdgat_tpu.models.gnn import gnn_apply, gnn_init
+    key = jax.random.PRNGKey(9)
+    params, states = gnn_init(key, 32, 4, 4, jnp.float64)
+    names = ["self", "cross"] * 2
+    ks = [None, None, 6, None]
+    rng = np.random.default_rng(3)
+    d0 = jnp.asarray(rng.normal(size=(2, 16, 32)))
+    d1 = jnp.asarray(rng.normal(size=(2, 16, 32)))
+    w = jnp.asarray(rng.normal(size=(2, 16, 32)))
+
+    def loss(p, remat, scan):
+        a0, a1, _ = gnn_apply(p, states, d0, d1, names, ks, train=True,
+                              scan_pairs=scan, remat=remat)
+        return jnp.sum(a0 * w) + jnp.sum(a1 * w)
+
+    for scan in (False, True):
+        l_ref, g_ref = jax.value_and_grad(loss)(params, False, scan)
+        l_rm, g_rm = jax.value_and_grad(loss)(params, True, scan)
+        np.testing.assert_allclose(float(l_rm), float(l_ref), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(g_rm), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-12)
+
+
 def test_gradients_flow():
     cfg = tiny_cfg()
     model = MDGAT(cfg)
