@@ -51,8 +51,10 @@ def attentional_propagation_apply(params, state, x, source,
     message = multi_head_attention(params["attn"], x, source, topk,
                                    num_heads=num_heads, kv_mask=kv_mask,
                                    use_pallas=use_pallas)
-    h = jnp.concatenate([x, message], axis=-1)
-    delta, st = mlp_apply(params["mlp"], state["mlp"], h, train, valid_mask)
+    # concat-free MLP input: cat(x, message) @ w1 == x @ w1[:C] +
+    # message @ w1[C:] — the materialized concat was a pure HBM copy
+    delta, st = mlp_apply(params["mlp"], state["mlp"], (x, message),
+                          train, valid_mask)
     return delta, {"mlp": st}
 
 

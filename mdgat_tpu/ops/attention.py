@@ -153,14 +153,18 @@ def multi_head_attention(proj_params, x, source, topk: Optional[int],
     """
     from mdgat_tpu.ops.mlp import conv1x1_apply
 
+    if use_pallas:
+        # fully-fused path: projections + attention + merge in one custom-
+        # VJP kernel pair — no [B, H, N, D] relayouts of activations (the
+        # split/merge transposes measured ~28 ms/step of layout copies at
+        # the reference train config)
+        from mdgat_tpu.ops.pallas.attention import fused_mha
+        return fused_mha(topk, num_heads, use_pallas == "exact",
+                         proj_params, x, source, kv_mask)
     q = split_heads(conv1x1_apply(proj_params["q"], x), num_heads)
     k = split_heads(conv1x1_apply(proj_params["k"], source), num_heads)
     v = split_heads(conv1x1_apply(proj_params["v"], source), num_heads)
-    if use_pallas:
-        from mdgat_tpu.ops.pallas.attention import fused_topk_attention
-        o = fused_topk_attention(q, k, v, topk, kv_mask,
-                                 use_pallas == "exact")
-    elif topk is None:
+    if topk is None:
         o = full_attention(q, k, v, kv_mask=kv_mask)
     else:
         o = topk_attention(q, k, v, topk, kv_mask=kv_mask, exact=exact)

@@ -128,13 +128,31 @@ def mlp_apply(params, state, x, train: bool = False,
     computation so fixed-shape padding does not perturb BN statistics; padded
     rows still produce (garbage) outputs which callers mask downstream.
 
+    ``x`` may be a tuple of channel-blocks ``(x0, x1, ...)`` standing for
+    ``concat(x, -1)``: the first layer's kernel is split over the blocks
+    (``cat(x) @ w == sum_i x_i @ w_i``) so the concatenated tensor is never
+    materialized — at the train config the per-layer [B, N, 2C] concat was
+    a pure HBM copy. Numerics differ from the materialized concat only by
+    float reassociation of the matmul.
+
     Returns (y, new_state) where new_state mirrors ``state``.
     """
     new_state = []
     h = x
     n_layers = len(params)
     for i, layer in enumerate(params):
-        h = conv1x1_apply(layer["lin"], h)
+        if i == 0 and isinstance(h, (tuple, list)):
+            w = layer["lin"]["w"]
+            acc = None
+            off = 0
+            for part in h:
+                c = part.shape[-1]
+                t = jnp.matmul(part, w[off:off + c].astype(part.dtype))
+                acc = t if acc is None else acc + t
+                off += c
+            h = acc + layer["lin"]["b"].astype(acc.dtype)
+        else:
+            h = conv1x1_apply(layer["lin"], h)
         st = state[i] if state is not None else None
         if "bn" in layer:
             if valid_mask is not None and train:

@@ -363,141 +363,57 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: pallas forward + analytic XLA backward
+# (a standalone attention-only custom-VJP wrapper lived here in round 2;
+#  superseded by fused_mha below, which folds the projections and the
+#  head-merge into the same kernel pair and removes the [B,H,N,D]
+#  activation relayouts around it)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
-def fused_topk_attention(q, k, v, topk, kv_mask, exact=False):
-    """Top-k attention with the Pallas forward and a sort-free backward.
 
-    Forward: the fused kernel (scores stay in VMEM; returns the per-row
-    k-th value as the only extra residual). Backward: recompute scores in
-    XLA, mask with the saved threshold (the selection is constant w.r.t.
-    the inputs, exactly like the reference's scatter backward), and apply
-    the standard masked-softmax VJP — all MXU matmuls, no TopK sort in
-    either pass. Makes the Pallas path usable in training.
+# ---------------------------------------------------------------------------
+# per-head weight splitting (shared by the fused layer/MHA kernels)
+# ---------------------------------------------------------------------------
+
+def _split_proj(p, num_heads: int, head_dim: int, fold_scale=None):
+    """conv1x1 params -> per-head ([H, D, Dh], [H, 1, Dh]) in f32.
+
+    The projection OUTPUT channel c = d*H + h (torch ``view(B, dim, heads,
+    N)`` channel interleave, ``models/mdgat.py:227``): head h's kernel
+    columns / bias entries stride by H. Folding the 1/sqrt(Dh) score scale
+    into wq/bq saves a VPU pass in the kernel.
     """
-    out, _ = _fused_fwd_impl(q, k, v, topk, kv_mask, exact)
-    return out
+    d = p["w"].shape[0]
+    f32 = jnp.float32
+    w = p["w"].astype(f32).reshape(d, head_dim, num_heads).transpose(2, 0, 1)
+    b = p["b"].astype(f32).reshape(head_dim, num_heads).T[:, None, :]
+    if fold_scale is not None:
+        w, b = w * fold_scale, b * fold_scale
+    return w, b
 
 
-def _fused_fwd_impl(q, k, v, topk, kv_mask, exact):
-    interp = jax.default_backend() == "cpu"  # no Mosaic on CPU
-    return pallas_topk_attention(q, k, v, topk, kv_mask=kv_mask,
-                                 return_threshold=True, interpret=interp,
-                                 exact=exact)
+def _unsplit_proj_grad(dw, db, fold_scale=None):
+    """Inverse of :func:`_split_proj` for gradients: [H,D,Dh]/[H,1,Dh] ->
+    raw conv1x1 layout [D, D]/[D]."""
+    if fold_scale is not None:
+        dw, db = dw * fold_scale, db * fold_scale
+    h, d, dh = dw.shape
+    return (dw.transpose(1, 2, 0).reshape(d, dh * h),
+            db[:, 0, :].T.reshape(dh * h))
 
 
-def _fused_fwd(q, k, v, topk, kv_mask, exact):
-    out, thr = _fused_fwd_impl(q, k, v, topk, kv_mask, exact)
-    # checkpoint_name tags: under jax.checkpoint(..., policy=
-    # save_only_these_names("attn_out", "attn_thr")) the remat replay keeps
-    # the kernel output and the per-row threshold and recomputes only the
-    # cheap XLA glue (projections, merge, MLP) — the bisection+softmax+PV
-    # kernel does not run a second time in the backward. No-ops without
-    # such a policy.
-    from jax.ad_checkpoint import checkpoint_name
-    out = checkpoint_name(out, "attn_out")
-    thr = checkpoint_name(thr, "attn_thr")
-    return out, (q, k, v, thr, kv_mask)
+def _split_merge(p, num_heads: int, head_dim: int):
+    """Merge conv params -> ([H, Dh, D], [1, D]) in f32 (per-head split
+    over the merge INPUT channels, same interleave)."""
+    d = p["w"].shape[1]
+    f32 = jnp.float32
+    wm = p["w"].astype(f32).reshape(head_dim, num_heads, d).transpose(1, 0, 2)
+    bm = p["b"].astype(f32)[None, :]
+    return wm, bm
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, thr_ref, mask_ref, g_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale: float,
-                     num_heads: int, block_b: int, has_mask: bool):
-    """Masked-softmax attention VJP with every [N, M] intermediate
-    (scores, keep, p, dp, ds) VMEM-resident. The XLA backward round-trips
-    ~5 dense f32 [B,H,N,M] tensors through HBM per layer (≈5 GB/layer at
-    the reference train config); here only q/k/v/g/thr and the gradients
-    touch HBM. Selection is frozen at the forward's threshold — the same
-    constant-selection semantics as the reference's scatter backward
-    (``models/mdgat.py:196-210``)."""
-    dt = jnp.float32
-    neg = jnp.asarray(BIG_NEG, dt)
-    n = q_ref.shape[2]
-    m = k_ref.shape[2]
-    for b in range(block_b):
-        kv = (mask_ref[b] > 0.5) if has_mask else None   # [1, M]
-        for h in range(num_heads):
-            q = q_ref[b, h].astype(dt)                   # [N, Dh]
-            k = k_ref[b, h].astype(dt)                   # [M, Dh]
-            v = v_ref[b, h].astype(dt)
-            g = g_ref[b, h].astype(dt)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            keep = s >= thr_ref[b, h]                    # [N, M]
-            if has_mask:
-                keep = keep & jnp.broadcast_to(kv, (n, m))
-            s_m = jnp.where(keep, s, neg)
-            mx = jnp.max(s_m, axis=1, keepdims=True)
-            e = jnp.exp(s_m - mx) * keep.astype(dt)
-            p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                                jnp.asarray(1e-38, dt))
-            dv = jax.lax.dot_general(                    # p^T @ g [M, Dh]
-                p, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(                    # g @ v^T [N, M]
-                g, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-            dq = jax.lax.dot_general(                    # ds @ k [N, Dh]
-                ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(                    # ds^T @ q [M, Dh]
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            dq_ref[b, h] = dq.astype(dq_ref.dtype)
-            dk_ref[b, h] = dk.astype(dk_ref.dtype)
-            dv_ref[b, h] = dv.astype(dv_ref.dtype)
-
-
-def _pallas_attn_bwd(q, k, v, thr, kv_mask, g, interpret: bool):
-    b, h, n, d = q.shape
-    m = k.shape[2]
-    if kv_mask is None:
-        maskf = jnp.ones((b, 1, m), jnp.float32)
-    else:
-        maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
-                                 (b, 1, m))
-    # ~5 live [n, m] f32 temporaries per (b, h) iteration
-    budget = 13 * 1024 * 1024
-    bb = _BLOCK_B
-    while bb > 1 and 5 * bb * n * m * 4 > budget:
-        bb //= 2
-    while b % bb != 0:
-        bb //= 2
-    kern = functools.partial(_attn_bwd_kernel, scale=1.0 / (d ** 0.5),
-                             num_heads=h, block_b=bb,
-                             has_mask=kv_mask is not None)
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
-        len(shape) - 1), memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        kern,
-        grid=(b // bb,),
-        in_specs=[blk((bb, h, n, d)), blk((bb, h, m, d)),
-                  blk((bb, h, m, d)), blk((bb, h, n, 1)),
-                  blk((bb, 1, m)), blk((bb, h, n, d))],
-        out_specs=[blk((bb, h, n, d)), blk((bb, h, m, d)),
-                   blk((bb, h, m, d))],
-        out_shape=[jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
-                   jax.ShapeDtypeStruct((b, h, m, d), k.dtype),
-                   jax.ShapeDtypeStruct((b, h, m, d), v.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=56 * 1024 * 1024),
-        interpret=interpret,
-    )(q, k, v, thr, maskf, g)
-    return dq, dk, dv
-
-
-def _fused_bwd(topk, exact, res, g):
-    q, k, v, thr, kv_mask = res
-    interp = jax.default_backend() == "cpu"
-    dq, dk, dv = _pallas_attn_bwd(q, k, v, thr, kv_mask, g, interp)
-    return dq, dk, dv, None
-
-
-fused_topk_attention.defvjp(_fused_fwd, _fused_bwd)
+def _unsplit_merge_grad(dwm, dbm):
+    h, dh, d = dwm.shape
+    return dwm.transpose(1, 0, 2).reshape(dh * h, d), dbm[0]
 
 
 # ---------------------------------------------------------------------------
@@ -527,24 +443,10 @@ def fused_layer_apply(layer_params, layer_state, x, source,
     f32 = jnp.float32
     scale = 1.0 / (dh ** 0.5)
 
-    def head_split_in(p, fold_scale=False):
-        # projection OUTPUT channel c = d*H + h (torch view(B, dim, heads,
-        # N) channel interleave, models/mdgat.py:227): head h's kernel
-        # columns / bias entries stride by H
-        w = p["w"].astype(f32).reshape(d, dh, h).transpose(2, 0, 1)
-        bb_ = p["b"].astype(f32).reshape(dh, h).T[:, None, :]  # [H, 1, Dh]
-        if fold_scale:
-            w, bb_ = w * scale, bb_ * scale
-        return w, bb_
-
-    wq, bq = head_split_in(layer_params["attn"]["q"], fold_scale=True)
-    wk, bk = head_split_in(layer_params["attn"]["k"])
-    wv, bv = head_split_in(layer_params["attn"]["v"])
-
-    # merge weight, pre-split by head over its INPUT channels
-    wm_full = layer_params["attn"]["merge"]["w"].astype(f32)   # [D, D]
-    wm = wm_full.reshape(dh, h, d).transpose(1, 0, 2)          # [H, Dh, D]
-    bm = layer_params["attn"]["merge"]["b"].astype(f32)[None, :]
+    wq, bq = _split_proj(layer_params["attn"]["q"], h, dh, fold_scale=scale)
+    wk, bk = _split_proj(layer_params["attn"]["k"], h, dh)
+    wv, bv = _split_proj(layer_params["attn"]["v"], h, dh)
+    wm, bm = _split_merge(layer_params["attn"]["merge"], h, dh)
 
     # MLP layer 1 (+ BN running-stats affine folded in), layer 2
     l1, l2 = layer_params["mlp"][0], layer_params["mlp"][1]
@@ -612,3 +514,320 @@ def fused_layer_apply(layer_params, layer_state, x, source,
     )(x, source, maskf, wq, bq, wk, bk, wv, bv, wm, bm,
       w1x, w1m, b1, w2, b2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# fused MHA (projections + top-k attention + head-merge) with custom VJP —
+# the TRAINING counterpart of the eval whole-layer kernel
+# ---------------------------------------------------------------------------
+
+def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                    wv_ref, bv_ref, wm_ref, bm_ref, o_ref, t_ref, *,
+                    topk: int, num_heads: int, block_b: int,
+                    has_mask: bool, exact: bool):
+    """``merge(MHA(x, src))`` in one kernel: per-head q/k/v projections,
+    top-k/dense attention (stacked-rows VPU path), and the head-merge
+    projection — no ``[B, H, N, D]`` relayouts of activations anywhere
+    (profiled ~28 ms/step of pure layout copies at the reference train
+    config with the split-heads XLA path). Also emits the per-row k-th
+    score (the custom-VJP residual). Reference: ``models/mdgat.py:213-237``.
+    """
+    out_dt = x_ref.dtype
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = x_ref.shape[1]
+    m = src_ref.shape[1]
+
+    xs = [x_ref[b].astype(dt) for b in range(block_b)]      # [N, D]
+    srcs = [src_ref[b].astype(dt) for b in range(block_b)]  # [M, D]
+    rows, masks = [], []
+    for b in range(block_b):
+        kv_mask = mask_ref[b] > 0.5
+        for h in range(num_heads):
+            q = _dot(xs[b], wq_ref[h].astype(dt)) + bq_ref[h].astype(dt)
+            k = _dot(srcs[b], wk_ref[h].astype(dt)) + bk_ref[h].astype(dt)
+            rows.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            if has_mask:
+                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+    s = jnp.concatenate(rows, axis=0)
+    valid = None
+    if has_mask:
+        valid = jnp.concatenate(masks, axis=0)
+        s = jnp.where(valid, s, neg)
+
+    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
+                              has_mask=has_mask)
+    bm = bm_ref[...].astype(dt)
+    for b in range(block_b):
+        merged = bm
+        for h in range(num_heads):
+            v = _dot(srcs[b], wv_ref[h].astype(dt)) + bv_ref[h].astype(dt)
+            r0 = (b * num_heads + h) * n
+            o_h = _dot(prob[r0:r0 + n], v)                  # [N, Dh]
+            merged = merged + _dot(o_h, wm_ref[h].astype(dt))
+            t_ref[b, h] = thr[r0:r0 + n]
+        o_ref[b] = merged.astype(out_dt)
+
+
+def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
+                    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                    wm_ref, bm_ref,
+                    dx_ref, dsrc_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                    dwv_ref, dbv_ref, dwm_ref, dbm_ref, *,
+                    num_heads: int, block_b: int, has_mask: bool):
+    """VJP of :func:`_mha_fwd_kernel` with the selection frozen at the
+    forward's per-row threshold (reference scatter-backward semantics) and
+    every [N, M] intermediate VMEM-resident. Weight gradients accumulate
+    in their output refs across the sequential batch grid."""
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = x_ref.shape[1]
+    m = src_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dwm_ref[...] = jnp.zeros_like(dwm_ref)
+        dbm_ref[...] = jnp.zeros_like(dbm_ref)
+
+    for b in range(block_b):
+        x = x_ref[b].astype(dt)                              # [N, D]
+        src = src_ref[b].astype(dt)                          # [M, D]
+        g = g_ref[b].astype(dt)                              # [N, D]
+        kv = (mask_ref[b] > 0.5) if has_mask else None
+        dx = jnp.zeros_like(x)
+        dsrc = jnp.zeros_like(src)
+        dbm_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+        for h in range(num_heads):
+            wq = wq_ref[h].astype(dt)
+            wk = wk_ref[h].astype(dt)
+            wv = wv_ref[h].astype(dt)
+            wm = wm_ref[h].astype(dt)
+            q = _dot(x, wq) + bq_ref[h].astype(dt)           # [N, Dh]
+            k = _dot(src, wk) + bk_ref[h].astype(dt)         # [M, Dh]
+            v = _dot(src, wv) + bv_ref[h].astype(dt)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            keep = s >= thr_ref[b, h]
+            if has_mask:
+                keep = keep & jnp.broadcast_to(kv, (n, m))
+            s_m = jnp.where(keep, s, neg)
+            mx = jnp.max(s_m, axis=1, keepdims=True)
+            e = jnp.exp(s_m - mx) * keep.astype(dt)
+            p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                                jnp.asarray(1e-38, dt))
+            # merge backward: o_h = p v; merged += o_h wm
+            do = jax.lax.dot_general(                        # g wm^T [N, Dh]
+                g, wm, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_h = _dot(p, v)                                 # [N, Dh]
+            dwm_ref[h] += jax.lax.dot_general(               # o_h^T g
+                o_h, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # attention backward (thresholds frozen)
+            dv = jax.lax.dot_general(                        # p^T do [M, Dh]
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(                        # do v^T [N, M]
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+            dq = _dot(ds, k)                                 # [N, Dh]
+            dk = jax.lax.dot_general(                        # ds^T q [M, Dh]
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # projection backward
+            dx = dx + jax.lax.dot_general(                   # dq wq^T [N, D]
+                dq, wq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsrc = dsrc + jax.lax.dot_general(
+                dk, wk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsrc = dsrc + jax.lax.dot_general(
+                dv, wv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dwq_ref[h] += jax.lax.dot_general(               # x^T dq
+                x, dq, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbq_ref[h] += jnp.sum(dq, axis=0, keepdims=True)
+            dwk_ref[h] += jax.lax.dot_general(
+                src, dk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbk_ref[h] += jnp.sum(dk, axis=0, keepdims=True)
+            dwv_ref[h] += jax.lax.dot_general(
+                src, dv, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dbv_ref[h] += jnp.sum(dv, axis=0, keepdims=True)
+        dx_ref[b] = dx.astype(dx_ref.dtype)
+        dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
+
+
+def _mha_blocking(b, h, n, m, exact, topk):
+    if exact and topk:
+        budget, live = 13 * 1024 * 1024, 5
+    else:
+        budget, live = 26 * 1024 * 1024, 3
+    bb = _BLOCK_B
+    while bb > 1 and live * bb * h * n * m * 4 > budget:
+        bb //= 2
+    while b % bb != 0:
+        bb //= 2
+    return bb
+
+
+def _mha_fwd_call(attn_params, x, source, kv_mask, topk, num_heads, exact,
+                  interpret):
+    b, n, d = x.shape
+    m = source.shape[1]
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    wq, bq = _split_proj(attn_params["q"], num_heads, dh, fold_scale=scale)
+    wk, bk = _split_proj(attn_params["k"], num_heads, dh)
+    wv, bv = _split_proj(attn_params["v"], num_heads, dh)
+    wm, bm = _split_merge(attn_params["merge"], num_heads, dh)
+    if kv_mask is None:
+        maskf = jnp.ones((b, 1, m), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
+                                 (b, 1, m))
+    bb = _mha_blocking(b, num_heads, n, m, exact, topk)
+    kern = functools.partial(_mha_fwd_kernel, topk=int(topk or 0),
+                             num_heads=num_heads, block_b=bb,
+                             has_mask=kv_mask is not None, exact=exact)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
+        len(shape) - 1), memory_space=pltpu.VMEM)
+    out, thr = pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, dh, d)), rep((1, d))],
+        out_specs=[blk((bb, n, d)), blk((bb, num_heads, n, 1))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, source, maskf, wq, bq, wk, bk, wv, bv, wm, bm)
+    return out, thr
+
+
+def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
+                  interpret):
+    b, n, d = x.shape
+    m = source.shape[1]
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    wq, bq = _split_proj(attn_params["q"], num_heads, dh, fold_scale=scale)
+    wk, bk = _split_proj(attn_params["k"], num_heads, dh)
+    wv, bv = _split_proj(attn_params["v"], num_heads, dh)
+    wm, bm = _split_merge(attn_params["merge"], num_heads, dh)
+    if kv_mask is None:
+        maskf = jnp.ones((b, 1, m), jnp.float32)
+    else:
+        maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
+                                 (b, 1, m))
+    budget = 13 * 1024 * 1024
+    bb = _BLOCK_B
+    while bb > 1 and 5 * bb * n * m * 4 > budget:
+        bb //= 2
+    while b % bb != 0:
+        bb //= 2
+    kern = functools.partial(_mha_bwd_kernel, num_heads=num_heads,
+                             block_b=bb, has_mask=kv_mask is not None)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
+        len(shape) - 1), memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kern,
+        grid=(b // bb,),
+        in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
+                  blk((bb, num_heads, n, 1)), blk((bb, n, d)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                  rep((num_heads, dh, d)), rep((1, d))],
+        out_specs=[blk((bb, n, d)), blk((bb, m, d)),
+                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
+                   rep((num_heads, dh, d)), rep((1, d))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, m, d), source.dtype),
+                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
+                   jax.ShapeDtypeStruct((num_heads, dh, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, source, maskf, thr, g, wq, bq, wk, bk, wv, bv, wm, bm)
+    dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm, dbm = outs
+    pd = lambda ref: attn_params[ref]["w"].dtype
+    dwq_r, dbq_r = _unsplit_proj_grad(dwq, dbq, fold_scale=scale)
+    dwk_r, dbk_r = _unsplit_proj_grad(dwk, dbk)
+    dwv_r, dbv_r = _unsplit_proj_grad(dwv, dbv)
+    dwm_r, dbm_r = _unsplit_merge_grad(dwm, dbm)
+    dparams = {
+        "q": {"w": dwq_r.astype(pd("q")), "b": dbq_r.astype(pd("q"))},
+        "k": {"w": dwk_r.astype(pd("k")), "b": dbk_r.astype(pd("k"))},
+        "v": {"w": dwv_r.astype(pd("v")), "b": dbv_r.astype(pd("v"))},
+        "merge": {"w": dwm_r.astype(pd("merge")),
+                  "b": dbm_r.astype(pd("merge"))},
+    }
+    return dparams, dx, dsrc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def fused_mha(topk, num_heads, exact, attn_params, x, source, kv_mask):
+    """``merge(MultiHeadedAttention(x, source))`` with projections, top-k
+    attention and the head-merge in ONE Pallas kernel each way — no
+    ``split_heads``/``merge_heads`` activation relayouts (those layout
+    copies measured ~28 ms/step of the reference-config train step).
+    Backward freezes the selection at the forward's per-row threshold
+    (reference scatter-VJP semantics, ``models/mdgat.py:196-210``) and
+    accumulates the weight gradients across the batch grid in-kernel.
+    """
+    out, _ = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
+                           num_heads, exact,
+                           jax.default_backend() == "cpu")
+    return out
+
+
+def _fused_mha_fwd(topk, num_heads, exact, attn_params, x, source, kv_mask):
+    out, thr = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
+                             num_heads, exact,
+                             jax.default_backend() == "cpu")
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "attn_out")
+    thr = checkpoint_name(thr, "attn_thr")
+    return out, (attn_params, x, source, kv_mask, thr)
+
+
+def _fused_mha_bwd(topk, num_heads, exact, res, g):
+    attn_params, x, source, kv_mask, thr = res
+    dparams, dx, dsrc = _mha_bwd_call(
+        attn_params, x, source, kv_mask, thr, g, num_heads,
+        jax.default_backend() == "cpu")
+    return dparams, dx, dsrc, None
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
