@@ -416,6 +416,53 @@ def _unsplit_merge_grad(dwm, dbm):
     return dwm.transpose(1, 0, 2).reshape(dh * h, d), dbm[0]
 
 
+def _blocked_proj(p, num_heads: int, head_dim: int, fold_scale=None):
+    """conv1x1 params -> head-BLOCKED full matrices ([D, D], [1, D]) in
+    f32: output column c' = h*Dh + d maps to the torch-interleaved
+    original c = d*H + h, so head h occupies a CONTIGUOUS lane block —
+    one [N,D]x[D,D] MXU matmul projects every head at once and heads
+    slice out as ``q[:, h*Dh:(h+1)*Dh]`` (per-head matmuls serialized the
+    kernel; measured in the round-2 fused-MHA notes)."""
+    d = p["w"].shape[0]
+    f32 = jnp.float32
+    w = p["w"].astype(f32).reshape(d, head_dim, num_heads)
+    w = w.transpose(0, 2, 1).reshape(d, num_heads * head_dim)
+    b = p["b"].astype(f32).reshape(head_dim, num_heads).T.reshape(
+        1, num_heads * head_dim)
+    if fold_scale is not None:
+        w, b = w * fold_scale, b * fold_scale
+    return w, b
+
+
+def _unblocked_proj_grad(dw, db, num_heads: int, head_dim: int,
+                         fold_scale=None):
+    """Inverse of :func:`_blocked_proj` for gradients -> raw [D,D]/[D]."""
+    if fold_scale is not None:
+        dw, db = dw * fold_scale, db * fold_scale
+    d = dw.shape[0]
+    dw = dw.reshape(d, num_heads, head_dim).transpose(0, 2, 1).reshape(d, d)
+    db = db.reshape(num_heads, head_dim).T.reshape(d)
+    return dw, db
+
+
+def _blocked_merge(p, num_heads: int, head_dim: int):
+    """Merge conv params with INPUT rows permuted to the head-blocked
+    order (row r' = h*Dh + d <- original r = d*H + h): ``concat_h(o_h) @
+    wm_blocked`` equals the reference merge of interleaved channels."""
+    d = p["w"].shape[1]
+    f32 = jnp.float32
+    wm = p["w"].astype(f32).reshape(head_dim, num_heads, d)
+    wm = wm.transpose(1, 0, 2).reshape(num_heads * head_dim, d)
+    bm = p["b"].astype(f32)[None, :]
+    return wm, bm
+
+
+def _unblocked_merge_grad(dwm, dbm, num_heads: int, head_dim: int):
+    d = dwm.shape[1]
+    dwm = dwm.reshape(num_heads, head_dim, d).transpose(1, 0, 2).reshape(d, d)
+    return dwm, dbm[0]
+
+
 # ---------------------------------------------------------------------------
 # whole-layer fused forward (eval)
 # ---------------------------------------------------------------------------
@@ -537,17 +584,27 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     neg = jnp.asarray(BIG_NEG, dt)
     n = x_ref.shape[1]
     m = src_ref.shape[1]
+    dh = wq_ref.shape[1] // num_heads
 
-    xs = [x_ref[b].astype(dt) for b in range(block_b)]      # [N, D]
-    srcs = [src_ref[b].astype(dt) for b in range(block_b)]  # [M, D]
+    # head-BLOCKED weights (see _blocked_proj): one [*,D]x[D,D] MXU matmul
+    # projects all heads; heads slice out as contiguous lane blocks
+    wq = wq_ref[...].astype(dt)
+    wk = wk_ref[...].astype(dt)
+    wv = wv_ref[...].astype(dt)
+    wm = wm_ref[...].astype(dt)
+    qs, ks, vs = [], [], []
     rows, masks = [], []
     for b in range(block_b):
         kv_mask = mask_ref[b] > 0.5
+        q_full = _dot(x_ref[b].astype(dt), wq) + bq_ref[...].astype(dt)
+        k_full = _dot(src_ref[b].astype(dt), wk) + bk_ref[...].astype(dt)
+        qs.append(q_full)
+        ks.append(k_full)
         for h in range(num_heads):
-            q = _dot(xs[b], wq_ref[h].astype(dt)) + bq_ref[h].astype(dt)
-            k = _dot(srcs[b], wk_ref[h].astype(dt)) + bk_ref[h].astype(dt)
             rows.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                q_full[:, h * dh:(h + 1) * dh],
+                k_full[:, h * dh:(h + 1) * dh],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
             if has_mask:
                 masks.append(jnp.broadcast_to(kv_mask, (n, m)))
@@ -561,14 +618,15 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                               has_mask=has_mask)
     bm = bm_ref[...].astype(dt)
     for b in range(block_b):
-        merged = bm
+        v_full = _dot(src_ref[b].astype(dt), wv) + bv_ref[...].astype(dt)
+        os = []
         for h in range(num_heads):
-            v = _dot(srcs[b], wv_ref[h].astype(dt)) + bv_ref[h].astype(dt)
             r0 = (b * num_heads + h) * n
-            o_h = _dot(prob[r0:r0 + n], v)                  # [N, Dh]
-            merged = merged + _dot(o_h, wm_ref[h].astype(dt))
+            os.append(_dot(prob[r0:r0 + n],
+                           v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
             t_ref[b, h] = thr[r0:r0 + n]
-        o_ref[b] = merged.astype(out_dt)
+        o_full = jnp.concatenate(os, axis=1)                 # [N, D]
+        o_ref[b] = (_dot(o_full, wm) + bm).astype(out_dt)
 
 
 def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
@@ -585,6 +643,7 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
     neg = jnp.asarray(BIG_NEG, dt)
     n = x_ref.shape[1]
     m = src_ref.shape[1]
+    dh = wq_ref.shape[1] // num_heads
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -597,22 +656,26 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
         dwm_ref[...] = jnp.zeros_like(dwm_ref)
         dbm_ref[...] = jnp.zeros_like(dbm_ref)
 
+    wq = wq_ref[...].astype(dt)                              # [D, D] blocked
+    wk = wk_ref[...].astype(dt)
+    wv = wv_ref[...].astype(dt)
+    wm = wm_ref[...].astype(dt)
     for b in range(block_b):
         x = x_ref[b].astype(dt)                              # [N, D]
         src = src_ref[b].astype(dt)                          # [M, D]
         g = g_ref[b].astype(dt)                              # [N, D]
         kv = (mask_ref[b] > 0.5) if has_mask else None
-        dx = jnp.zeros_like(x)
-        dsrc = jnp.zeros_like(src)
         dbm_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+        q_full = _dot(x, wq) + bq_ref[...].astype(dt)        # [N, D]
+        k_full = _dot(src, wk) + bk_ref[...].astype(dt)      # [M, D]
+        v_full = _dot(src, wv) + bv_ref[...].astype(dt)
+        do_full = jax.lax.dot_general(                       # g wm^T [N, D]
+            g, wm, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        os, dqs, dks, dvs = [], [], [], []
         for h in range(num_heads):
-            wq = wq_ref[h].astype(dt)
-            wk = wk_ref[h].astype(dt)
-            wv = wv_ref[h].astype(dt)
-            wm = wm_ref[h].astype(dt)
-            q = _dot(x, wq) + bq_ref[h].astype(dt)           # [N, Dh]
-            k = _dot(src, wk) + bk_ref[h].astype(dt)         # [M, Dh]
-            v = _dot(src, wv) + bv_ref[h].astype(dt)
+            sl = slice(h * dh, (h + 1) * dh)
+            q, k, v = q_full[:, sl], k_full[:, sl], v_full[:, sl]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -624,48 +687,49 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
             e = jnp.exp(s_m - mx) * keep.astype(dt)
             p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                                 jnp.asarray(1e-38, dt))
-            # merge backward: o_h = p v; merged += o_h wm
-            do = jax.lax.dot_general(                        # g wm^T [N, Dh]
-                g, wm, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_h = _dot(p, v)                                 # [N, Dh]
-            dwm_ref[h] += jax.lax.dot_general(               # o_h^T g
-                o_h, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            do = do_full[:, sl]                              # [N, Dh]
+            os.append(_dot(p, v))                            # o_h [N, Dh]
             # attention backward (thresholds frozen)
-            dv = jax.lax.dot_general(                        # p^T do [M, Dh]
+            dvs.append(jax.lax.dot_general(                  # p^T do [M, Dh]
                 p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32))
             dp = jax.lax.dot_general(                        # do v^T [N, M]
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-            dq = _dot(ds, k)                                 # [N, Dh]
-            dk = jax.lax.dot_general(                        # ds^T q [M, Dh]
+            dqs.append(_dot(ds, k))                          # [N, Dh]
+            dks.append(jax.lax.dot_general(                  # ds^T q [M, Dh]
                 ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # projection backward
-            dx = dx + jax.lax.dot_general(                   # dq wq^T [N, D]
-                dq, wq, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dsrc = dsrc + jax.lax.dot_general(
-                dk, wk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dsrc = dsrc + jax.lax.dot_general(
-                dv, wv, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dwq_ref[h] += jax.lax.dot_general(               # x^T dq
-                x, dq, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbq_ref[h] += jnp.sum(dq, axis=0, keepdims=True)
-            dwk_ref[h] += jax.lax.dot_general(
-                src, dk, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbk_ref[h] += jnp.sum(dk, axis=0, keepdims=True)
-            dwv_ref[h] += jax.lax.dot_general(
-                src, dv, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbv_ref[h] += jnp.sum(dv, axis=0, keepdims=True)
+                preferred_element_type=jnp.float32))
+        o_full = jnp.concatenate(os, axis=1)                 # [N, D]
+        dq_full = jnp.concatenate(dqs, axis=1)
+        dk_full = jnp.concatenate(dks, axis=1)
+        dv_full = jnp.concatenate(dvs, axis=1)
+        # merge weight grad + projection backward, all as full-D matmuls
+        dwm_ref[...] += jax.lax.dot_general(                 # o^T g [D, D]
+            o_full, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx = jax.lax.dot_general(                            # dq wq^T [N, D]
+            dq_full, wq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsrc = jax.lax.dot_general(
+            dk_full, wk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsrc = dsrc + jax.lax.dot_general(
+            dv_full, wv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwq_ref[...] += jax.lax.dot_general(                 # x^T dq [D, D]
+            x, dq_full, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbq_ref[...] += jnp.sum(dq_full, axis=0, keepdims=True)
+        dwk_ref[...] += jax.lax.dot_general(
+            src, dk_full, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbk_ref[...] += jnp.sum(dk_full, axis=0, keepdims=True)
+        dwv_ref[...] += jax.lax.dot_general(
+            src, dv_full, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbv_ref[...] += jnp.sum(dv_full, axis=0, keepdims=True)
         dx_ref[b] = dx.astype(dx_ref.dtype)
         dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
 
@@ -683,16 +747,21 @@ def _mha_blocking(b, h, n, m, exact, topk):
     return bb
 
 
+def _mha_weights(attn_params, num_heads, dh, scale):
+    wq, bq = _blocked_proj(attn_params["q"], num_heads, dh, fold_scale=scale)
+    wk, bk = _blocked_proj(attn_params["k"], num_heads, dh)
+    wv, bv = _blocked_proj(attn_params["v"], num_heads, dh)
+    wm, bm = _blocked_merge(attn_params["merge"], num_heads, dh)
+    return wq, bq, wk, bk, wv, bv, wm, bm
+
+
 def _mha_fwd_call(attn_params, x, source, kv_mask, topk, num_heads, exact,
                   interpret):
     b, n, d = x.shape
     m = source.shape[1]
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
-    wq, bq = _split_proj(attn_params["q"], num_heads, dh, fold_scale=scale)
-    wk, bk = _split_proj(attn_params["k"], num_heads, dh)
-    wv, bv = _split_proj(attn_params["v"], num_heads, dh)
-    wm, bm = _split_merge(attn_params["merge"], num_heads, dh)
+    weights = _mha_weights(attn_params, num_heads, dh, scale)
     if kv_mask is None:
         maskf = jnp.ones((b, 1, m), jnp.float32)
     else:
@@ -710,17 +779,15 @@ def _mha_fwd_call(attn_params, x, source, kv_mask, topk, num_heads, exact,
         kern,
         grid=(b // bb,),
         in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, dh, d)), rep((1, d))],
+                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
+                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
         out_specs=[blk((bb, n, d)), blk((bb, num_heads, n, 1))],
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
-    )(x, source, maskf, wq, bq, wk, bk, wv, bv, wm, bm)
+    )(x, source, maskf, *weights)
     return out, thr
 
 
@@ -730,10 +797,7 @@ def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
     m = source.shape[1]
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
-    wq, bq = _split_proj(attn_params["q"], num_heads, dh, fold_scale=scale)
-    wk, bk = _split_proj(attn_params["k"], num_heads, dh)
-    wv, bv = _split_proj(attn_params["v"], num_heads, dh)
-    wm, bm = _split_merge(attn_params["merge"], num_heads, dh)
+    weights = _mha_weights(attn_params, num_heads, dh, scale)
     if kv_mask is None:
         maskf = jnp.ones((b, 1, m), jnp.float32)
     else:
@@ -757,35 +821,32 @@ def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
         grid=(b // bb,),
         in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
                   blk((bb, num_heads, n, 1)), blk((bb, n, d)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                  rep((num_heads, dh, d)), rep((1, d))],
+                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
+                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
         out_specs=[blk((bb, n, d)), blk((bb, m, d)),
-                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                   rep((num_heads, d, dh)), rep((num_heads, 1, dh)),
-                   rep((num_heads, dh, d)), rep((1, d))],
+                   rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
+                   rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, m, d), source.dtype),
-                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, d, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, 1, dh), f32),
-                   jax.ShapeDtypeStruct((num_heads, dh, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
                    jax.ShapeDtypeStruct((1, d), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
-    )(x, source, maskf, thr, g, wq, bq, wk, bk, wv, bv, wm, bm)
+    )(x, source, maskf, thr, g, *weights)
     dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm, dbm = outs
     pd = lambda ref: attn_params[ref]["w"].dtype
-    dwq_r, dbq_r = _unsplit_proj_grad(dwq, dbq, fold_scale=scale)
-    dwk_r, dbk_r = _unsplit_proj_grad(dwk, dbk)
-    dwv_r, dbv_r = _unsplit_proj_grad(dwv, dbv)
-    dwm_r, dbm_r = _unsplit_merge_grad(dwm, dbm)
+    dwq_r, dbq_r = _unblocked_proj_grad(dwq, dbq, num_heads, dh,
+                                        fold_scale=scale)
+    dwk_r, dbk_r = _unblocked_proj_grad(dwk, dbk, num_heads, dh)
+    dwv_r, dbv_r = _unblocked_proj_grad(dwv, dbv, num_heads, dh)
+    dwm_r, dbm_r = _unblocked_merge_grad(dwm, dbm, num_heads, dh)
     dparams = {
         "q": {"w": dwq_r.astype(pd("q")), "b": dbq_r.astype(pd("q"))},
         "k": {"w": dwk_r.astype(pd("k")), "b": dbk_r.astype(pd("k"))},
