@@ -177,32 +177,36 @@ def pallas_log_optimal_transport(scores, alpha, iters: int,
 
 def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
                 do_ref, dbr_ref, dbc_ref, dcorner_ref,
-                dz_ref, dalpha_ref, vhist_ref, vbinhist_ref, *, iters: int):
+                dz_ref, dalpha_ref, vhist_ref, vbinhist_ref, *, iters: int,
+                block_e: int):
     """Replay the forward iterations, then walk the adjoint recursion.
 
     Exact reverse-mode differentiation of the unrolled Sinkhorn loop
     (what ``jax.grad`` of the XLA scan computes), with the dense block,
     the dZ accumulator, and the per-iteration potentials VMEM-resident.
+    ``block_e`` elements per program, 3-D arrays [E, N, M] like the
+    forward kernel (same Mosaic constraints: single-axis reductions,
+    VMEM lane-sliced scalars).
 
     Memory discipline (a fully unrolled version blew the Mosaic stack —
     ~55 MB of live [N,M] temporaries): only the row-shaped ``v``/``vbin``
-    history is stored (scratch, (iters+1) x [1,M]); ``u_t``/``ubin_t`` are
-    recomputed bit-exactly from ``v_{t-1}`` inside a ``fori_loop`` body so
-    the dense temporaries are reused across iterations, and dZ accumulates
-    in the output ref instead of a loop carry. The softmax weights of the
-    remaining logsumexps are reconstructed from the potentials
-    (``c = log_nu - v_t``, ``cb = lnub - vbin_t``).
+    history is stored (scratch, (iters+1) x [E,1,M]); ``u_t``/``ubin_t``
+    are recomputed bit-exactly from ``v_{t-1}`` inside a ``fori_loop``
+    body so the dense temporaries are reused across iterations, and dZ
+    accumulates in the output ref instead of a loop carry. The softmax
+    weights of the remaining logsumexps are reconstructed from the
+    potentials (``c = log_nu - v_t``, ``cb = lnub - vbin_t``).
     """
-    Z = dense_ref[0]                          # [N, M]
-    log_mu = logmu_ref[0]                     # [N, 1]
-    log_nu = lognu_ref[0]                     # [1, M]
-    alpha = scalars_ref[0, 0, 0]
-    lmub = scalars_ref[0, 0, 1]
-    lnub = scalars_ref[0, 0, 2]
+    Z = dense_ref[...]                        # [E, N, M]
+    log_mu = logmu_ref[...]                   # [E, N, 1]
+    log_nu = lognu_ref[...]                   # [E, 1, M]
     dt = Z.dtype
+    sc = scalars_ref[...]                     # [E, 1, 4]
+    col = lambda i: sc[:, :, i:i + 1]         # [E, 1, 1]
+    alpha, lmub, lnub = col(0), col(1), col(2)
     neg = jnp.asarray(_big_neg(dt), dt)
     half_neg = neg * 0.5
-    zero = jnp.zeros((), dt)
+    zero = jnp.zeros((block_e, 1, 1), dt)
 
     # ---- forward replay, storing the v-side history (index 0 = init) ----
     u0 = jnp.where(log_mu > half_neg, jnp.zeros_like(log_mu), neg)
@@ -213,23 +217,25 @@ def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
     def fwd_body(t, carry):
         u, ubin, v, vbin = carry
         t1 = Z + v
-        mm1 = jnp.maximum(jnp.max(t1, axis=1, keepdims=True), alpha + vbin)
-        s1 = jnp.sum(jnp.exp(t1 - mm1), axis=1, keepdims=True) \
+        mm1 = jnp.maximum(jnp.max(t1, axis=2, keepdims=True), alpha + vbin)
+        s1 = jnp.sum(jnp.exp(t1 - mm1), axis=2, keepdims=True) \
             + jnp.exp(alpha + vbin - mm1)
         u = log_mu - (jnp.log(s1) + mm1)
-        mv = jnp.maximum(jnp.max(v), vbin)
-        sb = jnp.sum(jnp.exp(v - mv)) + jnp.exp(vbin - mv)
+        mv = jnp.maximum(jnp.max(v, axis=2, keepdims=True), vbin)
+        sb = jnp.sum(jnp.exp(v - mv), axis=2, keepdims=True) \
+            + jnp.exp(vbin - mv)
         ubin = lmub - (jnp.log(sb) + mv + alpha)
         t2 = Z + u
-        mm2 = jnp.maximum(jnp.max(t2, axis=0, keepdims=True), alpha + ubin)
-        s2 = jnp.sum(jnp.exp(t2 - mm2), axis=0, keepdims=True) \
+        mm2 = jnp.maximum(jnp.max(t2, axis=1, keepdims=True), alpha + ubin)
+        s2 = jnp.sum(jnp.exp(t2 - mm2), axis=1, keepdims=True) \
             + jnp.exp(alpha + ubin - mm2)
         v = log_nu - (jnp.log(s2) + mm2)
-        mu_ = jnp.maximum(jnp.max(u), ubin)
-        sb2 = jnp.sum(jnp.exp(u - mu_)) + jnp.exp(ubin - mu_)
+        mu_ = jnp.maximum(jnp.max(u, axis=1, keepdims=True), ubin)
+        sb2 = jnp.sum(jnp.exp(u - mu_), axis=1, keepdims=True) \
+            + jnp.exp(ubin - mu_)
         vbin = lnub - (jnp.log(sb2) + mu_ + alpha)
         vhist_ref[pl.ds(t + 1, 1)] = v[None]
-        vbinhist_ref[t + 1] = vbin
+        vbinhist_ref[pl.ds(t + 1, 1)] = vbin[None]
         return u, ubin, v, vbin
 
     jax.lax.fori_loop(0, iters, fwd_body, (u0, zero, v0, zero))
@@ -237,36 +243,39 @@ def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
     # ---- output-layer adjoints ----
     # O = Z + u_T + v_T - norm; Obr = a + ubin_T + v_T - norm;
     # Obc = a + u_T + vbin_T - norm; Oc = a + ubin_T + vbin_T - norm.
-    dO = do_ref[0]                            # [N, M]
-    dbr = dbr_ref[0]                          # [1, M]
-    dbc = dbc_ref[0]                          # [N, 1]
-    dc = dcorner_ref[0, 0, 0]
-    dz_ref[0] = dO
-    dalpha0 = jnp.sum(dbr) + jnp.sum(dbc) + dc
-    dv0 = jnp.sum(dO, axis=0, keepdims=True) + dbr              # [1, M]
-    dvbin0 = jnp.sum(dbc) + dc
-    du_out = jnp.sum(dO, axis=1, keepdims=True) + dbc           # [N, 1]
-    dubin_out = jnp.sum(dbr) + dc
+    dO = do_ref[...]                          # [E, N, M]
+    dbr = dbr_ref[...]                        # [E, 1, M]
+    dbc = dbc_ref[...]                        # [E, N, 1]
+    dc = dcorner_ref[...]                     # [E, 1, 1]
+    dz_ref[...] = dO
+    sum_dbr = jnp.sum(dbr, axis=2, keepdims=True)               # [E, 1, 1]
+    sum_dbc = jnp.sum(dbc, axis=1, keepdims=True)
+    dalpha0 = sum_dbr + sum_dbc + dc
+    dv0 = jnp.sum(dO, axis=1, keepdims=True) + dbr              # [E, 1, M]
+    dvbin0 = sum_dbc + dc
+    du_out = jnp.sum(dO, axis=2, keepdims=True) + dbc           # [E, N, 1]
+    dubin_out = sum_dbr + dc
 
     # ---- adjoint recursion, t = iters .. 1 ----
     def bwd_body(i, carry):
         dv, dvbin, dalpha = carry
         t = iters - i
-        v_t = vhist_ref[pl.ds(t, 1)][0]                         # [1, M]
-        vbin_t = vbinhist_ref[t]
-        v_prev = vhist_ref[pl.ds(t - 1, 1)][0]                  # [1, M]
-        vbin_prev = vbinhist_ref[t - 1]
+        v_t = vhist_ref[pl.ds(t, 1)][0]                         # [E, 1, M]
+        vbin_t = vbinhist_ref[pl.ds(t, 1)][0]                   # [E, 1, 1]
+        v_prev = vhist_ref[pl.ds(t - 1, 1)][0]
+        vbin_prev = vbinhist_ref[pl.ds(t - 1, 1)][0]
         # recompute u_t/ubin_t from v_prev — bit-exact fwd half-step
         t1 = Z + v_prev
-        mm1 = jnp.maximum(jnp.max(t1, axis=1, keepdims=True),
+        mm1 = jnp.maximum(jnp.max(t1, axis=2, keepdims=True),
                           alpha + vbin_prev)
-        s1 = jnp.sum(jnp.exp(t1 - mm1), axis=1, keepdims=True) \
+        s1 = jnp.sum(jnp.exp(t1 - mm1), axis=2, keepdims=True) \
             + jnp.exp(alpha + vbin_prev - mm1)
-        r = jnp.log(s1) + mm1                                   # [N, 1]
+        r = jnp.log(s1) + mm1                                   # [E, N, 1]
         u_t = log_mu - r
-        mv = jnp.maximum(jnp.max(v_prev), vbin_prev)
-        sb = jnp.sum(jnp.exp(v_prev - mv)) + jnp.exp(vbin_prev - mv)
-        rb = jnp.log(sb) + mv + alpha
+        mv = jnp.maximum(jnp.max(v_prev, axis=2, keepdims=True), vbin_prev)
+        sb = jnp.sum(jnp.exp(v_prev - mv), axis=2, keepdims=True) \
+            + jnp.exp(vbin_prev - mv)
+        rb = jnp.log(sb) + mv + alpha                           # [E, 1, 1]
         ubin_t = lmub - rb
         is_last = t == iters
         du = jnp.where(is_last, du_out, jnp.zeros_like(du_out))
@@ -277,55 +286,66 @@ def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
         dubin = dubin + (-dvbin) * jnp.exp(alpha + ubin_t - cb)
         dalpha = dalpha + (-dvbin)
         # step 3: v_t = log_nu - c, c_j = LSE_i([Z+u_t ; a+ubin_t])
-        c = log_nu - v_t                                        # [1, M]
-        contrib = jnp.exp(Z + u_t - c) * (-dv)                  # [N, M]
-        dz_ref[0] = dz_ref[0] + contrib
-        du = du + jnp.sum(contrib, axis=1, keepdims=True)
-        pb = jnp.sum(jnp.exp(alpha + ubin_t - c) * (-dv))
+        c = log_nu - v_t                                        # [E, 1, M]
+        contrib = jnp.exp(Z + u_t - c) * (-dv)                  # [E, N, M]
+        dz_ref[...] = dz_ref[...] + contrib
+        du = du + jnp.sum(contrib, axis=2, keepdims=True)
+        pb = jnp.sum(jnp.exp(alpha + ubin_t - c) * (-dv),
+                     axis=2, keepdims=True)
         dubin = dubin + pb
         dalpha = dalpha + pb
         # step 2: ubin_t = lmub - rb, rb = LSE_j([a+v_prev, a+vbin_prev])
-        dv_prev = (-dubin) * jnp.exp(alpha + v_prev - rb)       # [1, M]
+        dv_prev = (-dubin) * jnp.exp(alpha + v_prev - rb)       # [E, 1, M]
         dvbin_prev = (-dubin) * jnp.exp(alpha + vbin_prev - rb)
         dalpha = dalpha + (-dubin)
         # step 1: u_t = log_mu - r, r_i = LSE_j([Z+v_prev | a+vbin_prev])
-        contrib2 = (-du) * jnp.exp(Z + v_prev - r)              # [N, M]
-        dz_ref[0] = dz_ref[0] + contrib2
-        dv_prev = dv_prev + jnp.sum(contrib2, axis=0, keepdims=True)
-        sb_t = jnp.sum((-du) * jnp.exp(alpha + vbin_prev - r))
+        contrib2 = (-du) * jnp.exp(Z + v_prev - r)              # [E, N, M]
+        dz_ref[...] = dz_ref[...] + contrib2
+        dv_prev = dv_prev + jnp.sum(contrib2, axis=1, keepdims=True)
+        sb_t = jnp.sum((-du) * jnp.exp(alpha + vbin_prev - r),
+                       axis=1, keepdims=True)
         dvbin_prev = dvbin_prev + sb_t
         dalpha = dalpha + sb_t
         return dv_prev, dvbin_prev, dalpha
 
     _, _, dalpha = jax.lax.fori_loop(0, iters, bwd_body,
                                      (dv0, dvbin0, dalpha0))
-    dalpha_ref[0, 0, 0] = dalpha
+    dalpha_ref[...] = dalpha
 
 
 def _bwd_call(scalars, dense, log_mu, log_nu, g: OTScores,
               interpret: bool, iters: int):
     b, n, m = dense.shape
     dt = dense.dtype
-    spec_sc = pl.BlockSpec((1, 1, 4), lambda i: (i, 0, 0),
-                           memory_space=pltpu.SMEM)
-    spec_nm = pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+    # ~5 live [E, n, m]-sized f32 buffers per reverse step (Z, dO-in-dz,
+    # dz, contrib, recompute temp)
+    eb = 8
+    while eb > 1 and 5 * eb * n * m * jnp.dtype(dt).itemsize > 10 * 2 ** 20:
+        eb //= 2
+    while b % eb != 0:
+        eb //= 2
+    spec_sc = pl.BlockSpec((eb, 1, 4), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_n1 = pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+    spec_nm = pl.BlockSpec((eb, n, m), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_1m = pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+    spec_n1 = pl.BlockSpec((eb, n, 1), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_11 = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                           memory_space=pltpu.SMEM)
+    spec_1m = pl.BlockSpec((eb, 1, m), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_11 = pl.BlockSpec((eb, 1, 1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     dz, dalpha = pl.pallas_call(
-        functools.partial(_bwd_kernel, iters=iters),
-        grid=(b,),
+        functools.partial(_bwd_kernel, iters=iters, block_e=eb),
+        grid=(b // eb,),
         in_specs=[spec_sc, spec_nm, spec_n1, spec_1m,
                   spec_nm, spec_1m, spec_n1, spec_11],
         out_specs=[spec_nm, spec_11],
         out_shape=[jax.ShapeDtypeStruct((b, n, m), dt),
                    jax.ShapeDtypeStruct((b, 1, 1), dt)],
-        scratch_shapes=[pltpu.VMEM((iters + 1, 1, m), dt),
-                        pltpu.SMEM((iters + 1,), dt)],
+        scratch_shapes=[pltpu.VMEM((iters + 1, eb, 1, m), dt),
+                        pltpu.VMEM((iters + 1, eb, 1, 1), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
     )(scalars, dense, log_mu, log_nu,
       g.dense.astype(dt), g.bin_row[:, None, :].astype(dt),

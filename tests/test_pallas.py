@@ -110,6 +110,17 @@ def test_pallas_sinkhorn_multi_element_blocks():
                                np.asarray(ref.bin_row), rtol=2e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got.corner),
                                np.asarray(ref.corner), rtol=2e-5, atol=1e-5)
+    # gradients through the 8-element-per-program BACKWARD kernel blocking
+    from mdgat_tpu.ops.pallas import pallas_log_optimal_transport_trainable
+    wd = jnp.asarray(rng.normal(size=scores.shape), jnp.float32) \
+        * (rm[:, :, None] & cm[:, None, :])
+    ref_g = jax.grad(lambda s: jnp.sum(log_optimal_transport(
+        s, 0.3, 8, row_mask=rm, col_mask=cm).dense * wd))(scores)
+    got_g = jax.grad(lambda s: jnp.sum(pallas_log_optimal_transport_trainable(
+        s, 0.3, 8, row_mask=rm, col_mask=cm, interpret=True).dense
+        * wd))(scores)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=3e-5, atol=1e-6)
 
 
 def test_pallas_sinkhorn_trainable_vmem_fallback():
