@@ -95,7 +95,8 @@ def bench_tpu():
     # (scan_gnn_pairs=False: no per-iteration stacked-param slicing)
     # -> 97.7; fused-MHA custom VJP (projections+attention+merge in one
     # kernel pair, no split-heads relayouts) + concat-free MLP -> 72.2;
-    # head-blocked kernel weights (full-D projection matmuls) -> 65.9
+    # head-blocked kernel weights (full-D projection matmuls) -> 65.9;
+    # decomposed-dustbin gap loss (no [B,N,M+1] concat slab) -> 62.5
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",

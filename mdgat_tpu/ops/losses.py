@@ -52,26 +52,37 @@ def gap_loss(ot: OTScores, gt0, gt1, gamma: float,
     neg = _big_neg(dt)
     g = jnp.asarray(gamma, dt)
 
+    # The dustbin column/row stays DECOMPOSED (no [B, N, M+1] concat: the
+    # concat materialized a 513-wide mis-tiled copy of the slab; the
+    # dustbin candidate is a separate [B, N] term). Same math as the
+    # reference's concatenated slab (``models/mdgat.py:557-594``).
+
     # ---- direction 0: anchors = rows, candidates = cols + dustbin col ----
-    slab0 = jnp.concatenate([
-        jnp.where(cm[:, None, :], dense, neg), bin_col[:, :, None]], axis=2)
+    dense0 = jnp.where(cm[:, None, :], dense, neg)
     pos_idx0 = jnp.where(gt0 < 0, m, gt0).astype(jnp.int32)        # [B,N]
-    pos0 = jnp.take_along_axis(slab0, pos_idx0[:, :, None], axis=2)
-    cand = jnp.arange(m + 1, dtype=jnp.int32)[None, None, :]
-    not_pos = cand != pos_idx0[:, :, None]
-    contrib0 = jax.nn.relu(slab0 - pos0 + g) * not_pos.astype(dt)
-    per_anchor0 = 2.0 * jnp.log1p(jnp.sum(contrib0, axis=2))       # [B,N]
+    cand = jnp.arange(m, dtype=jnp.int32)[None, None, :]
+    is_pos0 = cand == pos_idx0[:, :, None]                         # [B,N,M]
+    pos_main0 = jnp.sum(jnp.where(is_pos0, dense0, 0), axis=2)     # [B,N]
+    at_bin0 = pos_idx0 == m
+    pos0 = jnp.where(at_bin0, bin_col, pos_main0)[:, :, None]
+    contrib0 = jax.nn.relu(dense0 - pos0 + g) * (~is_pos0).astype(dt)
+    bin_term0 = jax.nn.relu(bin_col - pos0[:, :, 0] + g) \
+        * (~at_bin0).astype(dt)                                    # [B,N]
+    per_anchor0 = 2.0 * jnp.log1p(jnp.sum(contrib0, axis=2) + bin_term0)
     loss0 = _mean_over(per_anchor0, rm)
 
     # ---- direction 1: anchors = cols, candidates = rows + dustbin row ----
-    slab1 = jnp.concatenate([
-        jnp.where(rm[:, :, None], dense, neg), bin_row[:, None, :]], axis=1)
+    dense1 = jnp.where(rm[:, :, None], dense, neg)
     pos_idx1 = jnp.where(gt1 < 0, n, gt1).astype(jnp.int32)        # [B,M]
-    pos1 = jnp.take_along_axis(slab1, pos_idx1[:, None, :], axis=1)
-    cand1 = jnp.arange(n + 1, dtype=jnp.int32)[None, :, None]
-    not_pos1 = cand1 != pos_idx1[:, None, :]
-    contrib1 = jax.nn.relu(slab1 - pos1 + g) * not_pos1.astype(dt)
-    per_anchor1 = 2.0 * jnp.log1p(jnp.sum(contrib1, axis=1))       # [B,M]
+    cand1 = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    is_pos1 = cand1 == pos_idx1[:, None, :]                        # [B,N,M]
+    pos_main1 = jnp.sum(jnp.where(is_pos1, dense1, 0), axis=1)     # [B,M]
+    at_bin1 = pos_idx1 == n
+    pos1 = jnp.where(at_bin1, bin_row, pos_main1)[:, None, :]
+    contrib1 = jax.nn.relu(dense1 - pos1 + g) * (~is_pos1).astype(dt)
+    bin_term1 = jax.nn.relu(bin_row - pos1[:, 0, :] + g) \
+        * (~at_bin1).astype(dt)                                    # [B,M]
+    per_anchor1 = 2.0 * jnp.log1p(jnp.sum(contrib1, axis=1) + bin_term1)
     loss1 = _mean_over(per_anchor1, cm)
 
     return (loss0 + loss1) / 2.0
