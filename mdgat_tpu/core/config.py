@@ -68,6 +68,8 @@ class Config:
     pallas_attention: bool = True   # fused attention kernel: per-head MXU
                                     # matmuls + stacked-head bisection top-k
                                     # (avoids XLA's sort-based TopK)
+    pallas_interpret: bool = False  # run the Pallas paths on CPU via the
+                                    # interpreter (slow; integration tests)
     pallas_exact_topk: bool = False  # integer-key search: bit-exact top-k
                                      # selection (~1.6x slower eval fwd)
     donate_state: bool = True

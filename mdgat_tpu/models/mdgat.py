@@ -163,7 +163,8 @@ class MDGAT:
         # (exact backprop through the iterations — reference semantics,
         # ``models/mdgat.py:279-285`` under autograd). CPU lacks the Mosaic
         # backend — fall back to the XLA versions.
-        on_accel = jax.default_backend() != "cpu"
+        on_accel = (jax.default_backend() != "cpu"
+                    or cfg.pallas_interpret)  # tests: interpreter on CPU
         use_pallas = cfg.use_pallas and on_accel
         pallas_attn = cfg.pallas_attention and on_accel
         if pallas_attn and cfg.pallas_exact_topk:

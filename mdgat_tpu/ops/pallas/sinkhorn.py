@@ -124,8 +124,10 @@ def _prep(scores, alpha, row_mask, col_mask):
 def pallas_log_optimal_transport(scores, alpha, iters: int,
                                  row_mask: Optional[jnp.ndarray] = None,
                                  col_mask: Optional[jnp.ndarray] = None,
-                                 interpret: bool = False) -> OTScores:
+                                 interpret: Optional[bool] = None) -> OTScores:
     """Drop-in for :func:`log_optimal_transport` (forward only)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
     b, n, m = scores.shape
     dt = scores.dtype
     scalars, dense, log_mu, log_nu = _prep(scores, alpha, row_mask, col_mask)
@@ -393,7 +395,7 @@ def pallas_log_optimal_transport_trainable(
         scores, alpha, iters: int,
         row_mask: Optional[jnp.ndarray] = None,
         col_mask: Optional[jnp.ndarray] = None,
-        interpret: bool = False) -> OTScores:
+        interpret: Optional[bool] = None) -> OTScores:
     """Differentiable drop-in for ``log_optimal_transport`` (training path).
 
     Forward = the fused VMEM-resident kernel; backward = exact replayed
@@ -408,6 +410,8 @@ def pallas_log_optimal_transport_trainable(
         from mdgat_tpu.ops.transport import log_optimal_transport
         return log_optimal_transport(scores, alpha, iters,
                                      row_mask=row_mask, col_mask=col_mask)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
     if row_mask is None:
         row_mask = jnp.ones((b, n), bool)
     if col_mask is None:

@@ -186,6 +186,36 @@ def test_gnn_scan_equals_unrolled():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
 
 
+def test_full_model_pallas_interpret_matches_xla():
+    """End-to-end TPU code path (fused MHA custom VJP + trainable Pallas
+    Sinkhorn) on the CPU interpreter vs the pure-XLA path: train-mode
+    loss and parameter gradients, plus eval matches. ``pallas_exact_topk``
+    removes fast-bisection near-tie divergence; f32 everywhere (the
+    kernels compute f32 internals by design)."""
+    cfg_x = tiny_cfg(compute_dtype="float32", param_dtype="float32")
+    cfg_p = tiny_cfg(compute_dtype="float32", param_dtype="float32",
+                     pallas_interpret=True, pallas_exact_topk=True)
+    model_x, model_p = MDGAT(cfg_x), MDGAT(cfg_p)
+    params, state = model_x.init(jax.random.PRNGKey(2))
+    batch = tiny_batch(cfg_x)
+
+    def loss(model, p):
+        out, _ = model.apply(p, state, batch, train=True)
+        return jnp.mean(out["loss"])
+
+    lx, gx = jax.value_and_grad(lambda p: loss(model_x, p))(params)
+    lp, gp = jax.value_and_grad(lambda p: loss(model_p, p))(params)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=3e-4)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=2e-4)
+
+    out_x, _ = model_x.apply(params, state, batch, train=False)
+    out_p, _ = model_p.apply(params, state, batch, train=False)
+    assert (np.asarray(out_p["matches0"])
+            == np.asarray(out_x["matches0"])).mean() > 0.95
+
+
 def test_gnn_remat_gradient_equivalence():
     """remat (with the selective save_only_these_names policy) must give
     the same loss AND gradients as the unrematerialized path, for both
