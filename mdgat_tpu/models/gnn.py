@@ -125,7 +125,7 @@ def gnn_apply(params, states, desc0, desc1,
     (~10 GB at the reference train config of batch 64 / N 512, which
     overflows a 16 GB chip; the reference spread this over 4 GPUs via
     DataParallel). The policy keeps the Pallas attention output and its
-    per-row threshold (tagged in ``_fused_fwd``) so the replay skips the
+    per-row threshold (tagged in ``_fused_mha_fwd``) so the replay skips the
     attention kernel and recomputes only projections/merge/MLP; with the
     XLA attention path no tags exist and the policy degrades to full
     remat.

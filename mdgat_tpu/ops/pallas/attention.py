@@ -592,14 +592,11 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     wk = wk_ref[...].astype(dt)
     wv = wv_ref[...].astype(dt)
     wm = wm_ref[...].astype(dt)
-    qs, ks, vs = [], [], []
     rows, masks = [], []
     for b in range(block_b):
         kv_mask = mask_ref[b] > 0.5
         q_full = _dot(x_ref[b].astype(dt), wq) + bq_ref[...].astype(dt)
         k_full = _dot(src_ref[b].astype(dt), wk) + bk_ref[...].astype(dt)
-        qs.append(q_full)
-        ks.append(k_full)
         for h in range(num_heads):
             rows.append(jax.lax.dot_general(
                 q_full[:, h * dh:(h + 1) * dh],
@@ -734,8 +731,11 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
         dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
 
 
-def _mha_blocking(b, h, n, m, exact, topk):
-    if exact and topk:
+def _mha_blocking(b, h, n, m, exact, topk, backward=False):
+    if backward:
+        # ~5 live [n, m] f32 temporaries per (b, h) head iteration
+        budget, live, h = 13 * 1024 * 1024, 5, 1
+    elif exact and topk:
         budget, live = 13 * 1024 * 1024, 5
     else:
         budget, live = 26 * 1024 * 1024, 3
@@ -745,6 +745,18 @@ def _mha_blocking(b, h, n, m, exact, topk):
     while b % bb != 0:
         bb //= 2
     return bb
+
+
+def _rep(shape):
+    """Replicated (grid-constant) VMEM block."""
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _blk(shape):
+    """Leading-dim-blocked VMEM block."""
+    return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+                        memory_space=pltpu.VMEM)
 
 
 def _mha_weights(attn_params, num_heads, dh, scale):
@@ -771,17 +783,13 @@ def _mha_fwd_call(attn_params, x, source, kv_mask, topk, num_heads, exact,
     kern = functools.partial(_mha_fwd_kernel, topk=int(topk or 0),
                              num_heads=num_heads, block_b=bb,
                              has_mask=kv_mask is not None, exact=exact)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                     memory_space=pltpu.VMEM)
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
-        len(shape) - 1), memory_space=pltpu.VMEM)
     out, thr = pl.pallas_call(
         kern,
         grid=(b // bb,),
-        in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
-                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
-                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
-        out_specs=[blk((bb, n, d)), blk((bb, num_heads, n, 1))],
+        in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d))],
+        out_specs=[_blk((bb, n, d)), _blk((bb, num_heads, n, 1))],
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -803,29 +811,20 @@ def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
     else:
         maskf = jnp.broadcast_to(kv_mask.astype(jnp.float32)[:, None, :],
                                  (b, 1, m))
-    budget = 13 * 1024 * 1024
-    bb = _BLOCK_B
-    while bb > 1 and 5 * bb * n * m * 4 > budget:
-        bb //= 2
-    while b % bb != 0:
-        bb //= 2
+    bb = _mha_blocking(b, num_heads, n, m, False, topk=0, backward=True)
     kern = functools.partial(_mha_bwd_kernel, num_heads=num_heads,
                              block_b=bb, has_mask=kv_mask is not None)
-    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                                     memory_space=pltpu.VMEM)
-    blk = lambda shape: pl.BlockSpec(shape, lambda i: (i,) + (0,) * (
-        len(shape) - 1), memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
         kern,
         grid=(b // bb,),
-        in_specs=[blk((bb, n, d)), blk((bb, m, d)), blk((bb, 1, m)),
-                  blk((bb, num_heads, n, 1)), blk((bb, n, d)),
-                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
-                  rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
-        out_specs=[blk((bb, n, d)), blk((bb, m, d)),
-                   rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d)),
-                   rep((d, d)), rep((1, d)), rep((d, d)), rep((1, d))],
+        in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
+                  _blk((bb, num_heads, n, 1)), _blk((bb, n, d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d))],
+        out_specs=[_blk((bb, n, d)), _blk((bb, m, d)),
+                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d))],
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
                    jax.ShapeDtypeStruct((b, m, d), source.dtype),
                    jax.ShapeDtypeStruct((d, d), f32),

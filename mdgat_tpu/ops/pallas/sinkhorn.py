@@ -126,11 +126,19 @@ def pallas_log_optimal_transport(scores, alpha, iters: int,
                                  col_mask: Optional[jnp.ndarray] = None,
                                  interpret: Optional[bool] = None) -> OTScores:
     """Drop-in for :func:`log_optimal_transport` (forward only)."""
+    prepped = _prep(scores, alpha, row_mask, col_mask)
+    return _fwd_from_prep(prepped, iters, interpret)
+
+
+def _fwd_from_prep(prepped, iters: int,
+                   interpret: Optional[bool] = None) -> OTScores:
+    """Forward kernel on pre-built (scalars, dense, log_mu, log_nu) — lets
+    the custom-VJP forward share ONE _prep with its residuals."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
-    b, n, m = scores.shape
-    dt = scores.dtype
-    scalars, dense, log_mu, log_nu = _prep(scores, alpha, row_mask, col_mask)
+    scalars, dense, log_mu, log_nu = prepped
+    b, n, m = dense.shape
+    dt = dense.dtype
 
     # elements per program: ~4 live [n, m]-sized f32 buffers (Z, out, two
     # iteration temporaries) per element
@@ -364,9 +372,9 @@ def _ot_trainable(iters: int, interpret: bool, scores, alpha,
 
 
 def _ot_trainable_fwd(iters, interpret, scores, alpha, row_mask, col_mask):
-    out = pallas_log_optimal_transport(scores, alpha, iters,
-                                       row_mask, col_mask, interpret)
-    scalars, dense, log_mu, log_nu = _prep(scores, alpha, row_mask, col_mask)
+    prepped = _prep(scores, alpha, row_mask, col_mask)
+    out = _fwd_from_prep(prepped, iters, interpret)
+    scalars, dense, log_mu, log_nu = prepped
     return out, (scalars, dense, log_mu, log_nu, row_mask, col_mask,
                  jnp.shape(alpha))
 

@@ -293,6 +293,33 @@ def test_pallas_attention_masked():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_fused_mha_multi_program_weight_grads():
+    """batch 8 > _BLOCK_B runs the backward over a multi-program grid —
+    exercises the pl.when(program_id==0) init + '+=' weight-gradient
+    accumulation across sequential grid steps (real TPU training runs 32
+    programs; every other test collapses to grid=(1,))."""
+    from mdgat_tpu.ops.attention import multi_head_attention
+    from mdgat_tpu.ops.mlp import conv1x1_init
+    from mdgat_tpu.ops.pallas.attention import fused_mha
+
+    rng = np.random.default_rng(55)
+    b, n, m, d, heads = 8, 12, 16, 16, 4
+    keys = jax.random.split(jax.random.PRNGKey(9), 4)
+    params = {nm: conv1x1_init(k, d, d, jnp.float32)
+              for nm, k in zip(("q", "k", "v", "merge"), keys)}
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    src = jnp.asarray(rng.normal(size=(b, m, d)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+
+    gr = jax.grad(lambda p: jnp.sum(multi_head_attention(
+        p, x, src, 6, num_heads=heads) * g))(params)
+    gf = jax.grad(lambda p: jnp.sum(fused_mha(
+        6, heads, True, p, x, src, None) * g))(params)
+    for a, bb_ in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=3e-4, atol=3e-5)
+
+
 @pytest.mark.parametrize("topk,masked,selfattn", [
     (None, False, False), (6, False, False), (6, True, False),
     (None, True, True), (5, False, True),
