@@ -95,9 +95,19 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                         "~10% faster train step on TPU, slower compile")
     p.add_argument("--pallas_exact_topk", type=_parse_bool, default=False,
                    help="bit-exact top-k selection in the fused kernel")
+    p.add_argument("--pallas_interpret", type=_parse_bool, default=False,
+                   help="run the Pallas kernels on the CPU interpreter "
+                        "(full-Pallas integration path without a TPU)")
     p.add_argument("--synthetic", type=_parse_bool, default=False,
                    help="generate a synthetic KITTI-format dataset under "
                         "--train_path if keypoints are absent (demo mode)")
+    p.add_argument("--platform", type=str, default="",
+                   choices=["", "cpu", "tpu", "axon"],
+                   help="force the JAX platform ('' = as configured). "
+                        "Needed because JAX_PLATFORMS in the environment "
+                        "can be overridden by site config before main() "
+                        "runs; this applies jax.config.update before any "
+                        "backend is initialized")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", type=_parse_bool, default=False,
                    help="enable jax_debug_nans (NaN provenance; slow)")
@@ -146,6 +156,7 @@ def config_from_args(args, preset: str) -> Config:
         use_pallas=args.use_pallas,
         pallas_attention=args.pallas_attention,
         pallas_exact_topk=args.pallas_exact_topk,
+        pallas_interpret=args.pallas_interpret,
         scan_gnn_pairs=args.scan_gnn_pairs,
         seed=args.seed,
     )
@@ -156,6 +167,16 @@ def config_from_args(args, preset: str) -> Config:
 
 def setup_jax(cfg: Config, args=None):
     import jax
+    if args is not None and getattr(args, "platform", ""):
+        # must precede any backend initialization (same dance as
+        # tests/conftest.py — the axon site hook force-sets
+        # jax_platforms, so the env var alone cannot select CPU)
+        jax.config.update("jax_platforms", args.platform)
+        try:
+            from jax.extend.backend import clear_backends
+            clear_backends()
+        except Exception:
+            pass
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",

@@ -204,6 +204,24 @@ class SparseDataset:
     def _frame_path(self, s: str, idx: int) -> str:
         return os.path.join(self.cfg.keypoints_path, s, "%06d.bin" % idx)
 
+    def _batch_bucket(self, idxs) -> int:
+        """Variable-N bucket for a batch from raw row counts alone (file
+        sizes on the disk path, cached-array lengths under
+        ``memory_is_enough``) — no keypoint loads, so the Python fallback
+        in :meth:`batches` loads each pair exactly once."""
+        rows = []
+        for i in idxs:
+            r = self.pairs[int(i)]
+            s = "%02d" % r["seq"]
+            for idx in (r["anc_idx"], r["pos_idx"]):
+                if self.cfg.memory_is_enough and s in self.kp_cache:
+                    rows.append(len(self.kp_cache[s][idx])
+                                // kitti.KEYPOINT_ROW_FLOATS)
+                else:
+                    rows.append(os.path.getsize(self._frame_path(s, idx))
+                                // (kitti.KEYPOINT_ROW_FLOATS * 4))
+        return _round_up(max(max(rows), 1), 128)
+
     def _native_batch(self, idxs) -> Optional[List[Dict]]:
         """Threaded native load+shape of a whole batch (X2 equivalent).
 
@@ -259,12 +277,11 @@ class SparseDataset:
             if use_native and not self.cfg.memory_is_enough:
                 pairs = self._native_batch(idxs)
             if pairs is None:
-                pairs = [self.get_pair(int(i)) for i in idxs]
-                if not self.cfg.ensure_kpts_num:
-                    # re-pad the batch to its max bucket so shapes agree
-                    tgt = max(max(p["mask0"].shape[0], p["mask1"].shape[0])
-                              for p in pairs)
-                    pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
+                # variable-N: size the shared bucket from row counts
+                # BEFORE loading so every pair is loaded exactly once
+                tgt = (None if self.cfg.ensure_kpts_num
+                       else self._batch_bucket(idxs))
+                pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
             out = {}
             for k in pairs[0]:
                 if k in ("sequence",):

@@ -53,8 +53,12 @@ class EvalPipeline:
                                               shuffle=False,
                                               drop_last=False):
                 q.put(self._pad_tail(batch))
-        finally:
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised in __iter__
+            # Propagate IO/shape errors to the consumer: swallowing them
+            # here would silently truncate the dataset and print plausible
+            # aggregate metrics over a partial eval.
+            q.put(e)
 
     def _pad_tail(self, batch: Dict) -> Dict:
         """Pad a remainder batch to the full batch size by repeating its
@@ -101,6 +105,8 @@ class EvalPipeline:
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                raise batch
             t_q = time.time()
             n_real = batch.pop("__n_real__", None)
             prepared = self.prepare(batch)

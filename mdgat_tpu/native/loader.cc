@@ -49,9 +49,14 @@ int load_one(const char* path, int max_kpts, int ensure, float score_min,
   if (ensure) {
     // reference pad: repeatedly prepend the first (target-len) rows
     // (load_data.py:197-211). Materialize the same final ordering.
-    if (n == 0) return -1;
-    if (n > max_kpts) {
+    if (n == 0) {
+      // Every row failed the score filter: zero-fill with count 0 — the
+      // Python path's empty-frame contract (duplicate_pad zero-fill +
+      // all-false mask -> the model's no-keypoint early-out, N8). -1 is
+      // reserved for genuine read failures.
+    } else if (n > max_kpts) {
       rows.resize(max_kpts);
+      n = max_kpts;
     } else {
       while (static_cast<long>(rows.size()) < max_kpts) {
         long take = max_kpts - static_cast<long>(rows.size());
@@ -61,8 +66,8 @@ int load_one(const char* path, int max_kpts, int ensure, float score_min,
                                                      : (long)rows.size()));
         rows.insert(rows.begin(), head.begin(), head.end());
       }
+      n = max_kpts;
     }
-    n = max_kpts;
   } else if (n > max_kpts) {
     n = max_kpts;  // caller sized the buffer; report truncation via count
   }
@@ -89,7 +94,8 @@ int load_one(const char* path, int max_kpts, int ensure, float score_min,
 extern "C" {
 
 // Batched load: n_files files into [n_files, max_kpts, ...] buffers.
-// counts[i] = valid keypoints for slot i (-1 on per-file error).
+// counts[i] = valid keypoints for slot i; 0 = every row score-filtered
+// (slot zero-filled); -1 = read failure.
 // Returns 0 on success (individual errors reported via counts).
 int mdgat_load_batch(const char** paths, int n_files, int max_kpts,
                      int ensure, float score_min, int n_threads,

@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -887,7 +888,12 @@ def _fused_mha_bwd(topk, num_heads, exact, res, g):
     dparams, dx, dsrc = _mha_bwd_call(
         attn_params, x, source, kv_mask, thr, g, num_heads,
         jax.default_backend() == "cpu")
-    return dparams, dx, dsrc, None
+    # boolean mask cotangent: explicit float0 zeros (the Sinkhorn VJP's
+    # convention) rather than None, which relies on lenient custom_vjp
+    # handling across JAX versions
+    dmask = (None if kv_mask is None else
+             np.zeros(np.shape(kv_mask), jax.dtypes.float0))
+    return dparams, dx, dsrc, dmask
 
 
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)

@@ -413,7 +413,9 @@ def pallas_log_optimal_transport_trainable(
     """
     b, n, m = scores.shape
     itemsize = jnp.dtype(scores.dtype).itemsize
-    hist = (iters + 1) * (n + m) * itemsize
+    # backward scratch stores only the v-side history: (iters+1) steps of
+    # [1, M] v plus the scalar vbin per element (u_t is recomputed)
+    hist = (iters + 1) * (m + 1) * itemsize
     if 4 * n * m * itemsize + hist > _TRAIN_VMEM_BUDGET:
         from mdgat_tpu.ops.transport import log_optimal_transport
         return log_optimal_transport(scores, alpha, iters,

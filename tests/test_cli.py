@@ -96,3 +96,13 @@ def test_checkpoint_resume_continuity(tmp_path):
                                   np.asarray(out2["matches0"]))
     np.testing.assert_allclose(np.asarray(out_ref["loss"]),
                                np.asarray(out2["loss"]), rtol=0)
+
+
+def test_pallas_interpret_flag():
+    """--pallas_interpret reaches Config (the documented full-Pallas
+    integration path on CPU is reachable from the CLI, VERDICT r2 #7)."""
+    args = build_parser("test").parse_args(["--pallas_interpret", "true"])
+    cfg = config_from_args(args, "test")
+    assert cfg.pallas_interpret is True
+    assert config_from_args(
+        build_parser("test").parse_args([]), "test").pallas_interpret is False

@@ -171,3 +171,59 @@ def test_synthetic_pair_has_overlap():
     kp1h = p["kp1"] @ p["T_gt"][:3, :3].T + p["T_gt"][:3, 3]
     d = np.linalg.norm(kp1h[:, None] - p["kp0"][None], axis=-1)
     assert (d.min(axis=1) < 0.5).sum() >= 50
+
+
+def test_variable_n_fallback_loads_each_pair_once(kitti_root, monkeypatch):
+    """The variable-N Python fallback sizes the bucket from raw row
+    counts (file sizes / cached lengths) BEFORE loading — each frame is
+    read exactly once per batch (was twice before round 3)."""
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir, ensure_kpts_num=False)
+    ds = SparseDataset(cfg, "test")
+    calls = []
+    orig = SparseDataset._load_frame
+
+    def counting(self, s, idx):
+        calls.append((s, idx))
+        return orig(self, s, idx)
+
+    monkeypatch.setattr(SparseDataset, "_load_frame", counting)
+    next(ds.batches(batch_size=2, use_native=False))
+    assert len(calls) == 4  # 2 pairs x 2 frames, no second pass
+
+
+def test_empty_frame_parity_native_vs_python(tmp_path):
+    """A frame whose keypoints ALL fail the score filter must flow through
+    both loader paths identically: zero-filled slots, all-false masks, no
+    crash (VERDICT r2 #4; reference boundary: load_data.py:191-211)."""
+    root = str(tmp_path)
+    kp_dir = write_synthetic_kitti(root, seqs=(10,), frames_per_seq=3,
+                                   pairs_per_seq=2, n_points=60, seed=3)
+    import glob
+    import os
+    for victim in sorted(glob.glob(os.path.join(kp_dir, "10", "*.bin"))):
+        rows = np.fromfile(victim, dtype=np.float32).reshape(-1, 37)
+        rows[:, 3] = 1.0  # every score below score_min=10 -> frame empties
+        rows.tofile(victim)
+
+    cfg = train_defaults(train_path=root, keypoints_path=kp_dir,
+                         txt_path=f"{root}/preprocess-random-full",
+                         max_keypoints=64, memory_is_enough=False,
+                         ensure_kpts_num=True)
+    ds = SparseDataset(cfg, "test")
+    batches_n = list(ds.batches(batch_size=2, use_native=True,
+                                drop_last=False))
+    batches_p = list(ds.batches(batch_size=2, use_native=False,
+                                drop_last=False))
+    saw_empty = False
+    for bn, bp in zip(batches_n, batches_p):
+        for k in ("keypoints0", "keypoints1", "scores0", "descriptors1",
+                  "mask0", "mask1"):
+            np.testing.assert_array_equal(bn[k], bp[k], err_msg=k)
+        for side in ("0", "1"):
+            for b in range(bn[f"mask{side}"].shape[0]):
+                m = bn[f"mask{side}"][b]
+                if not m.any():
+                    saw_empty = True
+                    assert not bn[f"keypoints{side}"][b].any()
+    assert saw_empty  # the planted frame actually exercised the edge

@@ -1,0 +1,93 @@
+"""End-to-end CLI learning proof (VERDICT r2 #2).
+
+Exercises the SHIPPED entry points as subprocesses — ``train.py`` trains
+on synthetic data and writes checkpoints, ``test.py`` /
+``test_registration_metric.py`` evaluate the produced checkpoint — and
+asserts the trained metrics clear fixed bars well above the random-init
+baseline. This covers the checkpoint/BN-state handoff seam between the
+CLIs that in-process tests cannot see (reference protocol:
+``test.py:314-342``).
+
+Subprocesses run on CPU (JAX_PLATFORMS=cpu) with the shared persistent
+compile cache, so reruns cost seconds after the first compile.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_COMMON = ["--synthetic", "true", "--max_keypoints", "64",
+           "--batch_size", "8", "--platform", "cpu"]
+
+
+def _run(script, extra, cwd):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(_REPO, script)] + _COMMON + extra,
+        env=env, cwd=_REPO, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (
+        f"{script} failed rc={r.returncode}\nstdout:\n{r.stdout[-3000:]}\n"
+        f"stderr:\n{r.stderr[-3000:]}")
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    data = str(d / "kd")
+    models = str(d / "models")
+    out = _run("train.py", ["--train_path", data, "--epoch", "6",
+                            "--model_out_path", models], cwd=_REPO)
+    epochs = re.findall(r"epoch_loss (\d+\.\d+)", out)
+    assert len(epochs) == 6, out[-2000:]
+    first, last = float(epochs[0]), float(epochs[-1])
+    assert last < first * 0.5, f"loss barely moved: {epochs}"
+    cks = []
+    for root, _, files in os.walk(models):
+        cks += [os.path.join(root, f) for f in files if f.endswith(".npz")]
+    assert cks, f"no checkpoint written under {models}"
+    ck = max(cks, key=os.path.getmtime)
+    return data, ck
+
+
+def _aggregate(out, key):
+    m = re.search(rf"{key} (-?\d+\.\d+|nan)", out)
+    assert m, f"missing '{key}' in:\n{out[-2000:]}"
+    return float(m.group(1))
+
+
+def test_testpy_precision_beats_random_init(trained_checkpoint):
+    data, ck = trained_checkpoint
+    trained = _run("test.py", ["--train_path", data, "--resume_model", ck,
+                               "--max_pairs", "24"], cwd=_REPO)
+    random_init = _run("test.py", ["--train_path", data, "--resume_model",
+                                   "/nonexistent.npz", "--max_pairs", "24"],
+                       cwd=_REPO)
+    p_trained = _aggregate(trained, "precision_mean")
+    # random init: most pairs fail the pose gate; precision_mean may be
+    # nan (no pair passed) — treat that as 0
+    try:
+        p_random = _aggregate(random_init, "precision_mean")
+    except AssertionError:
+        p_random = 0.0
+    if p_random != p_random:  # nan
+        p_random = 0.0
+    assert p_trained > 0.5, f"trained precision too low: {p_trained}"
+    assert p_trained > p_random + 0.25, (
+        f"trained {p_trained} vs random-init {p_random}")
+
+
+def test_registration_recall_clears_bar(trained_checkpoint):
+    data, ck = trained_checkpoint
+    out = _run("test_registration_metric.py",
+               ["--train_path", data, "--resume_model", ck,
+                "--max_pairs", "16"], cwd=_REPO)
+    # final summary row: "rep inlier RR || precision recall F1 || ..."
+    m = re.search(r"^([\d.]+) ([\d.]+) ([\d.]+) \|\|", out, re.M)
+    assert m, f"missing summary row in:\n{out[-2000:]}"
+    rr = float(m.group(3))
+    assert rr > 0.6, f"registration recall too low: {rr}"

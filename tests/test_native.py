@@ -65,3 +65,19 @@ def test_native_error_on_missing_file(bin_files):
     loader = NativeLoader(64, True)
     with pytest.raises(IOError):
         loader.load([bin_files[0], "/nonexistent/xx.bin"])
+
+
+def test_native_all_filtered_frame_zero_fills(tmp_path):
+    """Every row below the score filter -> zero-fill + count 0 (the
+    Python path's empty-frame contract, ``pipeline.py:57-72``), NOT an
+    error; -1/IOError stays reserved for genuine read failures."""
+    rng = np.random.default_rng(1)
+    p = make_synthetic_pair(rng, n_points=40)
+    p["score0"][:] = 1.0  # all below score_min=10
+    rows = pair_to_bin_rows(p["kp0"], p["score0"], p["desc0"])
+    path = str(tmp_path / "000000.bin")
+    rows.tofile(path)
+    loader = NativeLoader(64, True, 10.0)
+    kp, score, desc, counts = loader.load([path])
+    assert counts[0] == 0
+    assert not kp.any() and not score.any() and not desc.any()
