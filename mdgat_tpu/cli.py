@@ -95,6 +95,10 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                         "~10% faster train step on TPU, slower compile")
     p.add_argument("--pallas_exact_topk", type=_parse_bool, default=False,
                    help="bit-exact top-k selection in the fused kernel")
+    p.add_argument("--pallas_train_layer", type=_parse_bool, default=True,
+                   help="train: fuse the whole GNN layer (MHA + MLP + "
+                        "batch-stat BN + residual) into one Pallas "
+                        "custom-VJP kernel pair")
     p.add_argument("--pallas_interpret", type=_parse_bool, default=False,
                    help="run the Pallas kernels on the CPU interpreter "
                         "(full-Pallas integration path without a TPU)")
@@ -156,6 +160,7 @@ def config_from_args(args, preset: str) -> Config:
         use_pallas=args.use_pallas,
         pallas_attention=args.pallas_attention,
         pallas_exact_topk=args.pallas_exact_topk,
+        pallas_train_layer=args.pallas_train_layer,
         pallas_interpret=args.pallas_interpret,
         scan_gnn_pairs=args.scan_gnn_pairs,
         seed=args.seed,

@@ -72,6 +72,9 @@ class Config:
                                     # interpreter (slow; integration tests)
     pallas_exact_topk: bool = False  # integer-key search: bit-exact top-k
                                      # selection (~1.6x slower eval fwd)
+    pallas_train_layer: bool = True  # train: whole-layer fused kernel pair
+                                     # (fused MHA + MLP + batch-stat BN +
+                                     # residual, custom VJP)
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
     scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer

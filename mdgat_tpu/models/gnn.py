@@ -71,11 +71,30 @@ def gnn_init(key, feature_dim: int, n_layers: int, num_heads: int = 4,
 
 
 def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
-                 mask0, mask1, use_pallas):
+                 mask0, mask1, use_pallas, train_layer=True):
     if name == "cross":
         src0, src1, kvm0, kvm1 = desc1, desc0, mask1, mask0
     else:
         src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
+    if use_pallas and train and train_layer:
+        # train: whole layer (fused MHA + MLP + batch-stat BN + residual)
+        # as a custom-VJP Pallas kernel pair each way; the BN stats ride
+        # the sequential batch grid (see ops/pallas/attention.py TL-*).
+        # Sequential cloud0-then-cloud1 application preserves the
+        # reference's twice-per-layer running-stat update.
+        from mdgat_tpu.ops.pallas.attention import fused_train_layer_apply
+        interp = jax.default_backend() == "cpu"
+        r0 = fused_train_layer_apply(p, st, desc0, src0, k, num_heads,
+                                     mask0, kvm0,
+                                     exact=use_pallas == "exact",
+                                     interpret=interp)
+        if r0 is not None:
+            d0, st = r0
+            d1, st = fused_train_layer_apply(p, st, desc1, src1, k,
+                                             num_heads, mask1, kvm1,
+                                             exact=use_pallas == "exact",
+                                             interpret=interp)
+            return d0, d1, st
     if use_pallas and not train:
         # eval: whole layer (attention + merge + MLP + residual) in one
         # fused kernel; BN folds to its running-stats affine, so the BN
@@ -111,7 +130,8 @@ def gnn_apply(params, states, desc0, desc1,
               k_schedule: Sequence[Optional[int]],
               num_heads: int = 4, train=False,
               mask0=None, mask1=None, use_pallas: bool = False,
-              scan_pairs: bool = True, remat: bool = False):
+              scan_pairs: bool = True, remat: bool = False,
+              train_layer: bool = True):
     """Run the full GNN stack; returns (desc0, desc1, new_states).
 
     ``scan_pairs``: consecutive layer *pairs* with identical
@@ -130,8 +150,12 @@ def gnn_apply(params, states, desc0, desc1,
     XLA attention path no tags exist and the policy degrades to full
     remat.
     """
+    # saved across the remat boundary: the attention kernel outputs
+    # (fused-MHA path) or the pre-BN activation + batch stats (fused
+    # train-layer path) — the replay recomputes only the cheap epilogue
     remat_policy = jax.checkpoint_policies.save_only_these_names(
-        "attn_out", "attn_thr")
+        "attn_out", "attn_thr", "layer_h1", "layer_bn_mean",
+        "layer_bn_var")
     n_layers = len(params)
     if not scan_pairs or n_layers % 2 != 0:
         new_states = []
@@ -139,11 +163,12 @@ def gnn_apply(params, states, desc0, desc1,
             fn = _apply_layer
             if remat:
                 fn = jax.checkpoint(_apply_layer,
-                                    static_argnums=(4, 5, 6, 7, 10),
+                                    static_argnums=(4, 5, 6, 7, 10, 11),
                                     policy=remat_policy)
             desc0, desc1, st = fn(
                 params[i], states[i], desc0, desc1, layer_names[i],
-                k_schedule[i], num_heads, train, mask0, mask1, use_pallas)
+                k_schedule[i], num_heads, train, mask0, mask1, use_pallas,
+                train_layer)
             new_states.append(st)
         return desc0, desc1, new_states
 
@@ -166,10 +191,10 @@ def gnn_apply(params, states, desc0, desc1,
         def pair_step(d0, d1, pA, sA, pB, sB):
             d0, d1, sA2 = _apply_layer(pA, sA, d0, d1, nameA, kA,
                                        num_heads, train, mask0, mask1,
-                                       use_pallas)
+                                       use_pallas, train_layer)
             d0, d1, sB2 = _apply_layer(pB, sB, d0, d1, nameB, kB,
                                        num_heads, train, mask0, mask1,
-                                       use_pallas)
+                                       use_pallas, train_layer)
             return d0, d1, sA2, sB2
 
         if remat:

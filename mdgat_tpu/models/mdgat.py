@@ -178,7 +178,8 @@ class MDGAT:
                 cfg.gnn_layer_names, k_sched, cfg.num_heads, train,
                 mask0, mask1, use_pallas=pallas_attn,
                 remat=cfg.remat_gnn and train,
-                scan_pairs=cfg.scan_gnn_pairs)
+                scan_pairs=cfg.scan_gnn_pairs,
+                train_layer=cfg.pallas_train_layer)
             new_state["gnn"] = st_gnn
             mdesc0 = conv1x1_apply(params["final_proj"], desc0)
             mdesc1 = conv1x1_apply(params["final_proj"], desc1)

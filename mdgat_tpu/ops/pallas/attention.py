@@ -663,73 +663,102 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
         src = src_ref[b].astype(dt)                          # [M, D]
         g = g_ref[b].astype(dt)                              # [N, D]
         kv = (mask_ref[b] > 0.5) if has_mask else None
+        thr_h = [thr_ref[b, h] for h in range(num_heads)]
         dbm_ref[...] += jnp.sum(g, axis=0, keepdims=True)
-        q_full = _dot(x, wq) + bq_ref[...].astype(dt)        # [N, D]
-        k_full = _dot(src, wk) + bk_ref[...].astype(dt)      # [M, D]
-        v_full = _dot(src, wv) + bv_ref[...].astype(dt)
-        do_full = jax.lax.dot_general(                       # g wm^T [N, D]
-            g, wm, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        os, dqs, dks, dvs = [], [], [], []
-        for h in range(num_heads):
-            sl = slice(h * dh, (h + 1) * dh)
-            q, k, v = q_full[:, sl], k_full[:, sl], v_full[:, sl]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            keep = s >= thr_ref[b, h]
-            if has_mask:
-                keep = keep & jnp.broadcast_to(kv, (n, m))
-            s_m = jnp.where(keep, s, neg)
-            mx = jnp.max(s_m, axis=1, keepdims=True)
-            e = jnp.exp(s_m - mx) * keep.astype(dt)
-            p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                                jnp.asarray(1e-38, dt))
-            do = do_full[:, sl]                              # [N, Dh]
-            os.append(_dot(p, v))                            # o_h [N, Dh]
-            # attention backward (thresholds frozen)
-            dvs.append(jax.lax.dot_general(                  # p^T do [M, Dh]
-                p, do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dp = jax.lax.dot_general(                        # do v^T [N, M]
-                do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-            dqs.append(_dot(ds, k))                          # [N, Dh]
-            dks.append(jax.lax.dot_general(                  # ds^T q [M, Dh]
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        o_full = jnp.concatenate(os, axis=1)                 # [N, D]
-        dq_full = jnp.concatenate(dqs, axis=1)
-        dk_full = jnp.concatenate(dks, axis=1)
-        dv_full = jnp.concatenate(dvs, axis=1)
-        # merge weight grad + projection backward, all as full-D matmuls
-        dwm_ref[...] += jax.lax.dot_general(                 # o^T g [D, D]
-            o_full, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dx = jax.lax.dot_general(                            # dq wq^T [N, D]
-            dq_full, wq, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dsrc = jax.lax.dot_general(
-            dk_full, wk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dsrc = dsrc + jax.lax.dot_general(
-            dv_full, wv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dwq_ref[...] += jax.lax.dot_general(                 # x^T dq [D, D]
-            x, dq_full, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbq_ref[...] += jnp.sum(dq_full, axis=0, keepdims=True)
-        dwk_ref[...] += jax.lax.dot_general(
-            src, dk_full, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbk_ref[...] += jnp.sum(dk_full, axis=0, keepdims=True)
-        dwv_ref[...] += jax.lax.dot_general(
-            src, dv_full, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dbv_ref[...] += jnp.sum(dv_full, axis=0, keepdims=True)
+        (o_full, dx, dsrc, dwq_c, dbq_c, dwk_c, dbk_c, dwv_c, dbv_c,
+         dwm_c) = _mha_bwd_block(
+            x, src, kv, thr_h, g, wq, wk, wv, wm,
+            bq_ref[...].astype(dt), bk_ref[...].astype(dt),
+            bv_ref[...].astype(dt), num_heads, dh, n, m, has_mask)
+        dwm_ref[...] += dwm_c
+        dwq_ref[...] += dwq_c
+        dbq_ref[...] += dbq_c
+        dwk_ref[...] += dwk_c
+        dbk_ref[...] += dbk_c
+        dwv_ref[...] += dwv_c
+        dbv_ref[...] += dbv_c
         dx_ref[b] = dx.astype(dx_ref.dtype)
         dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
+
+
+def _mha_bwd_block(x, src, kv, thr_h, g, wq, wk, wv, wm, bq, bk, bv,
+                   num_heads, dh, n, m, has_mask):
+    """Per-element MHA backward with the selection frozen at ``thr_h``
+    (the forward's per-row, per-head k-th score). Shared between the
+    fused-MHA backward kernel and the whole-layer training backward.
+
+    Returns ``(o_full, dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm)`` as
+    VALUES; callers accumulate the weight contributions into their grid
+    accumulator refs. ``o_full`` (the merged pre-projection attention
+    output) is also the operand of the merge-weight gradient and, for the
+    whole-layer kernel, of the in-kernel message recompute."""
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    q_full = _dot(x, wq) + bq                                # [N, D]
+    k_full = _dot(src, wk) + bk                              # [M, D]
+    v_full = _dot(src, wv) + bv
+    do_full = jax.lax.dot_general(                           # g wm^T [N, D]
+        g, wm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    os, dqs, dks, dvs = [], [], [], []
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q, k, v = q_full[:, sl], k_full[:, sl], v_full[:, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = s >= thr_h[h]
+        if has_mask:
+            keep = keep & jnp.broadcast_to(kv, (n, m))
+        s_m = jnp.where(keep, s, neg)
+        mx = jnp.max(s_m, axis=1, keepdims=True)
+        e = jnp.exp(s_m - mx) * keep.astype(dt)
+        p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                            jnp.asarray(1e-38, dt))
+        do = do_full[:, sl]                                  # [N, Dh]
+        os.append(_dot(p, v))                                # o_h [N, Dh]
+        # attention backward (thresholds frozen)
+        dvs.append(jax.lax.dot_general(                      # p^T do [M, Dh]
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        dp = jax.lax.dot_general(                            # do v^T [N, M]
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+        dqs.append(_dot(ds, k))                              # [N, Dh]
+        dks.append(jax.lax.dot_general(                      # ds^T q [M, Dh]
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    o_full = jnp.concatenate(os, axis=1)                     # [N, D]
+    dq_full = jnp.concatenate(dqs, axis=1)
+    dk_full = jnp.concatenate(dks, axis=1)
+    dv_full = jnp.concatenate(dvs, axis=1)
+    # merge weight grad + projection backward, all as full-D matmuls
+    dwm = jax.lax.dot_general(                               # o^T g [D, D]
+        o_full, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dx = jax.lax.dot_general(                                # dq wq^T [N, D]
+        dq_full, wq, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dsrc = jax.lax.dot_general(
+        dk_full, wk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dsrc = dsrc + jax.lax.dot_general(
+        dv_full, wv, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwq = jax.lax.dot_general(                               # x^T dq [D, D]
+        x, dq_full, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbq = jnp.sum(dq_full, axis=0, keepdims=True)
+    dwk = jax.lax.dot_general(
+        src, dk_full, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbk = jnp.sum(dk_full, axis=0, keepdims=True)
+    dwv = jax.lax.dot_general(
+        src, dv_full, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbv = jnp.sum(dv_full, axis=0, keepdims=True)
+    return o_full, dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm
 
 
 def _mha_blocking(b, h, n, m, exact, topk, backward=False):
@@ -897,3 +926,524 @@ def _fused_mha_bwd(topk, num_heads, exact, res, g):
 
 
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+# ---------------------------------------------------------------------------
+# whole-layer fused TRAINING path: fused-MHA + MLP + batch-stat BatchNorm +
+# residual with a custom VJP — the training counterpart of _layer_kernel
+# ---------------------------------------------------------------------------
+#
+# Train-mode BatchNorm needs per-channel statistics over the whole [B, N]
+# extent, which no single per-batch-block program can see. The TPU grid is
+# SEQUENTIAL, so the stats ride the same mechanism as the weight-gradient
+# accumulators: kernel TL-F1 (fused MHA + first MLP matmul) accumulates
+# masked per-channel sum/sum-of-squares across programs; a scalar-sized XLA
+# epilogue turns them into mean/var and the BN affine; kernel TL-F2 applies
+# normalize+ReLU+second matmul+residual. Backward mirrors it: TL-B1
+# accumulates the two BN reduction vectors (sum g-hat, sum g-hat*h-hat) plus
+# the cheap weight grads, TL-B2 recomputes the attention (shared
+# _mha_bwd_block) and chains the MLP/BN backward with the global reduction
+# constants folded in. The [N, M] probability matrices and every MLP
+# intermediate stay VMEM-resident; h1 (the pre-BN activation) is the only
+# new HBM tensor (written once forward, read by TL-F2/B1/B2).
+#
+# Variance is single-pass (E[x^2] - E[x]^2 in f32 accumulators) — a
+# documented numerical divergence from the XLA path's two-pass jnp.var;
+# in float32 the difference is ~1e-6 relative on BN outputs (tested).
+# Reference layer semantics: models/mdgat.py:239-257 under training
+# (net.train(), train.py:222).
+
+
+def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
+                    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                    wm_ref, bm_ref, w1x_ref, w1m_ref, b1_ref,
+                    h1_ref, t_ref, ssum_ref, ssq_ref, *,
+                    topk: int, num_heads: int, block_b: int,
+                    has_mask: bool, has_vmask: bool, exact: bool):
+    """Fused MHA (as ``_mha_fwd_kernel``) + message merge + the first MLP
+    matmul ``h1 = x @ w1x + message @ w1m + b1`` + masked per-channel
+    sum/sumsq accumulation across the sequential batch grid."""
+    out_dt = h1_ref.dtype
+    dt = jnp.float32
+    neg = jnp.asarray(BIG_NEG, dt)
+    n = x_ref.shape[1]
+    m = src_ref.shape[1]
+    dh = wq_ref.shape[1] // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ssum_ref[...] = jnp.zeros_like(ssum_ref)
+        ssq_ref[...] = jnp.zeros_like(ssq_ref)
+
+    wq = wq_ref[...].astype(dt)
+    wk = wk_ref[...].astype(dt)
+    wv = wv_ref[...].astype(dt)
+    wm = wm_ref[...].astype(dt)
+    w1x = w1x_ref[...].astype(dt)
+    w1m = w1m_ref[...].astype(dt)
+    b1 = b1_ref[...].astype(dt)
+    bm = bm_ref[...].astype(dt)
+    rows, masks = [], []
+    for b in range(block_b):
+        kv_mask = kvmask_ref[b] > 0.5
+        q_full = _dot(x_ref[b].astype(dt), wq) + bq_ref[...].astype(dt)
+        k_full = _dot(src_ref[b].astype(dt), wk) + bk_ref[...].astype(dt)
+        for h in range(num_heads):
+            rows.append(jax.lax.dot_general(
+                q_full[:, h * dh:(h + 1) * dh],
+                k_full[:, h * dh:(h + 1) * dh],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            if has_mask:
+                masks.append(jnp.broadcast_to(kv_mask, (n, m)))
+    s = jnp.concatenate(rows, axis=0)
+    valid = None
+    if has_mask:
+        valid = jnp.concatenate(masks, axis=0)
+        s = jnp.where(valid, s, neg)
+
+    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
+                              has_mask=has_mask)
+    ssum_acc = jnp.zeros((1, w1x.shape[1]), dt)
+    ssq_acc = jnp.zeros((1, w1x.shape[1]), dt)
+    for b in range(block_b):
+        v_full = _dot(src_ref[b].astype(dt), wv) + bv_ref[...].astype(dt)
+        os = []
+        for h in range(num_heads):
+            r0 = (b * num_heads + h) * n
+            os.append(_dot(prob[r0:r0 + n],
+                           v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
+            t_ref[b, h] = thr[r0:r0 + n]
+        o_full = jnp.concatenate(os, axis=1)                 # [N, D]
+        msg = _dot(o_full, wm) + bm                          # [N, D]
+        h1 = _dot(x_ref[b].astype(dt), w1x) + _dot(msg, w1m) + b1
+        h1_ref[b] = h1.astype(out_dt)
+        if has_vmask:
+            mrow = (vmask_ref[b] > 0.5).astype(dt)           # [1, N]
+            h1m = h1 * mrow.reshape(n, 1)
+            ssum_acc = ssum_acc + jnp.sum(h1m, axis=0, keepdims=True)
+            ssq_acc = ssq_acc + jnp.sum(h1m * h1, axis=0, keepdims=True)
+        else:
+            ssum_acc = ssum_acc + jnp.sum(h1, axis=0, keepdims=True)
+            ssq_acc = ssq_acc + jnp.sum(h1 * h1, axis=0, keepdims=True)
+    ssum_ref[...] += ssum_acc
+    ssq_ref[...] += ssq_acc
+
+
+def _tl_fwd2_kernel(x_ref, h1_ref, a_ref, c_ref, w2_ref, b2_ref, y_ref, *,
+                    block_b: int):
+    """BN affine (batch-stat mean/var folded into ``a``/``c`` by the XLA
+    epilogue) + ReLU + second MLP matmul + residual add."""
+    dt = jnp.float32
+    a = a_ref[...].astype(dt)
+    c = c_ref[...].astype(dt)
+    w2 = w2_ref[...].astype(dt)
+    b2 = b2_ref[...].astype(dt)
+    for b in range(block_b):
+        u = jnp.maximum(h1_ref[b].astype(dt) * a + c, 0.0)
+        y = x_ref[b].astype(dt) + _dot(u, w2) + b2
+        y_ref[b] = y.astype(y_ref.dtype)
+
+
+def _tl_bwd1_kernel(g_ref, h1_ref, w2_ref, vec_ref,
+                    sg_ref, sgh_ref, dw2_ref, db2_ref, dsc_ref, dbi_ref, *,
+                    block_b: int):
+    """BN-backward reduction pass: accumulates the two global vectors
+    ``Sg = sum(g-hat)`` / ``Sgh = sum(g-hat * h-hat)`` plus the row-local
+    weight grads (dw2, db2, dscale, dbias) across the grid.
+
+    The sums run over ALL rows (padded included): every row — padded or
+    not — is normalized with the shared batch mean/var, so every row's
+    cotangent feeds dL/dmean and dL/dvar. The validity mask enters the
+    BN backward only through the per-row correction factor m_i/cnt
+    (applied in ``_tl_bwd2_kernel``): padded rows influence the stats'
+    cotangent but receive no centering correction themselves.
+    ``vec_ref`` rows: 0=mean, 1=inv, 2=scale, 3=bias."""
+    dt = jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        sg_ref[...] = jnp.zeros_like(sg_ref)
+        sgh_ref[...] = jnp.zeros_like(sgh_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+        dsc_ref[...] = jnp.zeros_like(dsc_ref)
+        dbi_ref[...] = jnp.zeros_like(dbi_ref)
+
+    mean = vec_ref[0:1]
+    inv = vec_ref[1:2]
+    scale = vec_ref[2:3]
+    bias = vec_ref[3:4]
+    w2 = w2_ref[...].astype(dt)
+    for b in range(block_b):
+        g = g_ref[b].astype(dt)                              # [N, D]
+        h1 = h1_ref[b].astype(dt)                            # [N, 2D]
+        hhat = (h1 - mean) * inv
+        bn = hhat * scale + bias
+        relu_m = (bn > 0.0).astype(dt)
+        u = bn * relu_m                                      # forward relu out
+        dh2 = jax.lax.dot_general(                           # g w2^T [N, 2D]
+            g, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbn = dh2 * relu_m
+        G = dbn * scale                                      # d hhat
+        dw2_ref[...] += jax.lax.dot_general(                 # u^T g [2D, D]
+            u, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db2_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+        dsc_ref[...] += jnp.sum(dbn * hhat, axis=0, keepdims=True)
+        dbi_ref[...] += jnp.sum(dbn, axis=0, keepdims=True)
+        sg_ref[...] += jnp.sum(G, axis=0, keepdims=True)
+        sgh_ref[...] += jnp.sum(G * hhat, axis=0, keepdims=True)
+
+
+def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, g_ref,
+                    h1_ref,
+                    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                    wm_ref, bm_ref, w1x_ref, w1m_ref, w2_ref, vec_ref,
+                    dx_ref, dsrc_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
+                    dwv_ref, dbv_ref, dwm_ref, dbm_ref,
+                    dw1x_ref, dw1m_ref, db1_ref, *,
+                    num_heads: int, block_b: int, has_mask: bool,
+                    has_vmask: bool):
+    """Main whole-layer backward: recompute hhat/ReLU, fold the global BN
+    reduction constants (``vec_ref`` rows 4=Sg/cnt, 5=Sgh/cnt) into dh1,
+    chain into the MLP-1 backward and the shared frozen-selection MHA
+    backward (``_mha_bwd_block``), and emit dx (residual + MLP + attention
+    paths) / dsrc plus all accumulated weight grads."""
+    dt = jnp.float32
+    n = x_ref.shape[1]
+    m = src_ref.shape[1]
+    dh = wq_ref.shape[1] // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwq_ref[...] = jnp.zeros_like(dwq_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dbk_ref[...] = jnp.zeros_like(dbk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dbv_ref[...] = jnp.zeros_like(dbv_ref)
+        dwm_ref[...] = jnp.zeros_like(dwm_ref)
+        dbm_ref[...] = jnp.zeros_like(dbm_ref)
+        dw1x_ref[...] = jnp.zeros_like(dw1x_ref)
+        dw1m_ref[...] = jnp.zeros_like(dw1m_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+
+    mean = vec_ref[0:1]
+    inv = vec_ref[1:2]
+    scale = vec_ref[2:3]
+    bias = vec_ref[3:4]
+    c1 = vec_ref[4:5]                                        # Sg / cnt
+    c2 = vec_ref[5:6]                                        # Sgh / cnt
+    wq = wq_ref[...].astype(dt)
+    wk = wk_ref[...].astype(dt)
+    wv = wv_ref[...].astype(dt)
+    wm = wm_ref[...].astype(dt)
+    w1x = w1x_ref[...].astype(dt)
+    w1m = w1m_ref[...].astype(dt)
+    w2 = w2_ref[...].astype(dt)
+    for b in range(block_b):
+        x = x_ref[b].astype(dt)                              # [N, D]
+        src = src_ref[b].astype(dt)                          # [M, D]
+        g = g_ref[b].astype(dt)                              # [N, D]
+        h1 = h1_ref[b].astype(dt)                            # [N, 2D]
+        kv = (kvmask_ref[b] > 0.5) if has_mask else None
+        thr_h = [thr_ref[b, h] for h in range(num_heads)]
+
+        hhat = (h1 - mean) * inv
+        bn = hhat * scale + bias
+        relu_m = (bn > 0.0).astype(dt)
+        dh2 = jax.lax.dot_general(                           # g w2^T [N, 2D]
+            g, w2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        G = dh2 * relu_m * scale                             # d hhat
+        corr = c1 + hhat * c2
+        if has_vmask:
+            mrow = (vmask_ref[b] > 0.5).astype(dt).reshape(n, 1)
+            corr = corr * mrow
+        dh1 = inv * (G - corr)                               # [N, 2D]
+        dmsg = jax.lax.dot_general(                          # dh1 w1m^T [N,D]
+            dh1, w1m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx_mlp = jax.lax.dot_general(
+            dh1, w1x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw1x_ref[...] += jax.lax.dot_general(                # x^T dh1
+            x, dh1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db1_ref[...] += jnp.sum(dh1, axis=0, keepdims=True)
+        dbm_ref[...] += jnp.sum(dmsg, axis=0, keepdims=True)
+
+        (o_full, dx_attn, dsrc, dwq_c, dbq_c, dwk_c, dbk_c, dwv_c, dbv_c,
+         dwm_c) = _mha_bwd_block(
+            x, src, kv, thr_h, dmsg, wq, wk, wv, wm,
+            bq_ref[...].astype(dt), bk_ref[...].astype(dt),
+            bv_ref[...].astype(dt), num_heads, dh, n, m, has_mask)
+        msg = _dot(o_full, wm) + bm_ref[...].astype(dt)      # [N, D]
+        dw1m_ref[...] += jax.lax.dot_general(                # msg^T dh1
+            msg, dh1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwm_ref[...] += dwm_c
+        dwq_ref[...] += dwq_c
+        dbq_ref[...] += dbq_c
+        dwk_ref[...] += dwk_c
+        dbk_ref[...] += dbk_c
+        dwv_ref[...] += dwv_c
+        dbv_ref[...] += dbv_c
+        dx_ref[b] = (g + dx_mlp + dx_attn).astype(dx_ref.dtype)
+        dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
+
+
+def _tl_mlp_weights(layer_params):
+    """MLP weights in raw f32: (w1x, w1m, b1, w2, b2, bn_scale, bn_bias)."""
+    f32 = jnp.float32
+    l1, l2 = layer_params["mlp"][0], layer_params["mlp"][1]
+    w1 = l1["lin"]["w"].astype(f32)                          # [2D, 2D]
+    d = w1.shape[0] // 2
+    b1 = l1["lin"]["b"].astype(f32)[None, :]
+    w2 = l2["lin"]["w"].astype(f32)                          # [2D, D]
+    b2 = l2["lin"]["b"].astype(f32)[None, :]
+    return (w1[:d], w1[d:], b1, w2, b2,
+            l1["bn"]["scale"].astype(f32), l1["bn"]["bias"].astype(f32))
+
+
+def _vmaskf(mask, b, n):
+    if mask is None:
+        return jnp.ones((b, 1, n), jnp.float32)
+    return jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :], (b, 1, n))
+
+
+def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
+                  interpret):
+    from mdgat_tpu.ops.mlp import BN_EPS
+
+    b, n, d = x.shape
+    m = source.shape[1]
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    f32 = jnp.float32
+    weights = _mha_weights(lp["attn"], num_heads, dh, scale)
+    w1x, w1m, b1, w2, b2, bn_scale, bn_bias = _tl_mlp_weights(lp)
+    kvm = _vmaskf(kv_mask, b, m)
+    vmf = _vmaskf(vmask, b, n)
+
+    bb = _mha_blocking(b, num_heads, n, m, exact, topk)
+    kern1 = functools.partial(
+        _tl_fwd1_kernel, topk=int(topk or 0), num_heads=num_heads,
+        block_b=bb, has_mask=kv_mask is not None,
+        has_vmask=vmask is not None, exact=exact)
+    h1, thr, ssum, ssq = pl.pallas_call(
+        kern1,
+        grid=(b // bb,),
+        in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
+                  _blk((bb, 1, n)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, 2 * d)), _rep((d, 2 * d)), _rep((1, 2 * d))],
+        out_specs=[_blk((bb, n, 2 * d)), _blk((bb, num_heads, n, 1)),
+                   _rep((1, 2 * d)), _rep((1, 2 * d))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, 2 * d), x.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, n, 1), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, source, kvm, vmf, *weights, w1x, w1m, b1)
+
+    # scalar-sized XLA epilogue: masked single-pass mean/var + BN affine
+    if vmask is None:
+        cnt = jnp.asarray(b * n, f32)
+    else:
+        cnt = jnp.maximum(jnp.sum(vmask.astype(f32)), 1.0)
+    mean = ssum[0] / cnt
+    var = jnp.maximum(ssq[0] / cnt - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, f32))
+    a = (bn_scale * inv)[None, :]
+    c = (bn_bias - mean * bn_scale * inv)[None, :]
+
+    kern2 = functools.partial(_tl_fwd2_kernel, block_b=bb)
+    y = pl.pallas_call(
+        kern2,
+        grid=(b // bb,),
+        in_specs=[_blk((bb, n, d)), _blk((bb, n, 2 * d)),
+                  _rep((1, 2 * d)), _rep((1, 2 * d)),
+                  _rep((2 * d, d)), _rep((1, d))],
+        out_specs=_blk((bb, n, d)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, h1, a, c, w2, b2)
+    return y, mean, var, cnt, thr, h1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def fused_train_layer(topk, num_heads, exact, interpret,
+                      lp, x, source, kv_mask, vmask):
+    """Whole AttentionalPropagation layer under TRAINING semantics
+    (batch-stat BatchNorm) as two Pallas kernels each way; returns
+    ``(y, batch_mean, batch_var)`` — the mean/var feed the running-stat
+    update outside (non-differentiable observation, as in torch)."""
+    y, mean, var, _, _, _ = _tl_fwd_calls(
+        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret)
+    return y, mean, var
+
+
+def _ftl_fwd(topk, num_heads, exact, interpret, lp, x, source, kv_mask,
+             vmask):
+    y, mean, var, cnt, thr, h1 = _tl_fwd_calls(
+        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret)
+    from jax.ad_checkpoint import checkpoint_name
+    thr = checkpoint_name(thr, "attn_thr")
+    h1 = checkpoint_name(h1, "layer_h1")
+    mean = checkpoint_name(mean, "layer_bn_mean")
+    var = checkpoint_name(var, "layer_bn_var")
+    res = (lp, x, source, kv_mask, vmask, thr, h1, mean, var, cnt)
+    return (y, mean, var), res
+
+
+def _ftl_bwd(topk, num_heads, exact, interpret, res, cts):
+    from mdgat_tpu.ops.mlp import BN_EPS
+
+    g, _g_mean, _g_var = cts                  # mean/var: zero cotangents
+    lp, x, source, kv_mask, vmask, thr, h1, mean, var, cnt = res
+    b, n, d = x.shape
+    m = source.shape[1]
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    f32 = jnp.float32
+    weights = _mha_weights(lp["attn"], num_heads, dh, scale)
+    w1x, w1m, b1, w2, b2, bn_scale, bn_bias = _tl_mlp_weights(lp)
+    kvm = _vmaskf(kv_mask, b, m)
+    vmf = _vmaskf(vmask, b, n)
+    inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, f32))
+    vec4 = jnp.stack([mean, inv, bn_scale, bn_bias])         # [4, 2D]
+    g = g.astype(x.dtype)
+
+    bb = _mha_blocking(b, num_heads, n, m, False, topk=0, backward=True)
+    kern1 = functools.partial(_tl_bwd1_kernel, block_b=bb)
+    sg, sgh, dw2, db2, dsc, dbi = pl.pallas_call(
+        kern1,
+        grid=(b // bb,),
+        in_specs=[_blk((bb, n, d)), _blk((bb, n, 2 * d)),
+                  _rep((2 * d, d)), _rep((4, 2 * d))],
+        out_specs=[_rep((1, 2 * d)), _rep((1, 2 * d)), _rep((2 * d, d)),
+                   _rep((1, d)), _rep((1, 2 * d)), _rep((1, 2 * d))],
+        out_shape=[jax.ShapeDtypeStruct((1, 2 * d), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32),
+                   jax.ShapeDtypeStruct((2 * d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(g, h1, w2, vec4)
+
+    vec6 = jnp.concatenate([vec4, sg / cnt, sgh / cnt])      # [6, 2D]
+    kern2 = functools.partial(_tl_bwd2_kernel, num_heads=num_heads,
+                              block_b=bb, has_mask=kv_mask is not None,
+                              has_vmask=vmask is not None)
+    outs = pl.pallas_call(
+        kern2,
+        grid=(b // bb,),
+        in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
+                  _blk((bb, 1, n)), _blk((bb, num_heads, n, 1)),
+                  _blk((bb, n, d)), _blk((bb, n, 2 * d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                  _rep((d, 2 * d)), _rep((d, 2 * d)), _rep((2 * d, d)),
+                  _rep((6, 2 * d))],
+        out_specs=[_blk((bb, n, d)), _blk((bb, m, d)),
+                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
+                   _rep((d, 2 * d)), _rep((d, 2 * d)), _rep((1, 2 * d))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, m, d), source.dtype),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 2 * d), f32),
+                   jax.ShapeDtypeStruct((d, 2 * d), f32),
+                   jax.ShapeDtypeStruct((1, 2 * d), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
+        interpret=interpret,
+    )(x, source, kvm, vmf, thr, g, h1, *weights, w1x, w1m, w2, vec6)
+    (dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm, dbm,
+     dw1x, dw1m, db1) = outs
+
+    pd = lambda ref: lp["attn"][ref]["w"].dtype
+    dwq_r, dbq_r = _unblocked_proj_grad(dwq, dbq, num_heads, dh,
+                                        fold_scale=scale)
+    dwk_r, dbk_r = _unblocked_proj_grad(dwk, dbk, num_heads, dh)
+    dwv_r, dbv_r = _unblocked_proj_grad(dwv, dbv, num_heads, dh)
+    dwm_r, dbm_r = _unblocked_merge_grad(dwm, dbm, num_heads, dh)
+    l1p = lp["mlp"][0]["lin"]["w"].dtype
+    l2p = lp["mlp"][1]["lin"]["w"].dtype
+    bnp = lp["mlp"][0]["bn"]["scale"].dtype
+    dlp = {
+        "attn": {
+            "q": {"w": dwq_r.astype(pd("q")), "b": dbq_r.astype(pd("q"))},
+            "k": {"w": dwk_r.astype(pd("k")), "b": dbk_r.astype(pd("k"))},
+            "v": {"w": dwv_r.astype(pd("v")), "b": dbv_r.astype(pd("v"))},
+            "merge": {"w": dwm_r.astype(pd("merge")),
+                      "b": dbm_r.astype(pd("merge"))},
+        },
+        "mlp": [
+            {"lin": {"w": jnp.concatenate([dw1x, dw1m]).astype(l1p),
+                     "b": db1[0].astype(l1p)},
+             "bn": {"scale": dsc[0].astype(bnp),
+                    "bias": dbi[0].astype(bnp)}},
+            {"lin": {"w": dw2.astype(l2p), "b": db2[0].astype(l2p)}},
+        ],
+    }
+    dkv = (None if kv_mask is None else
+           np.zeros(np.shape(kv_mask), jax.dtypes.float0))
+    dvm = (None if vmask is None else
+           np.zeros(np.shape(vmask), jax.dtypes.float0))
+    return dlp, dx, dsrc, dkv, dvm
+
+
+fused_train_layer.defvjp(_ftl_fwd, _ftl_bwd)
+
+
+def fused_train_layer_apply(layer_params, layer_state, x, source,
+                            topk: Optional[int], num_heads: int,
+                            valid_mask=None, kv_mask=None,
+                            exact: bool = False, interpret: bool = False):
+    """Training-mode fused layer entry: runs the custom-VJP kernel pair
+    and performs the running-stat update (the ``mlp_apply`` train-mode
+    formula, ``ops/mlp.py:100-119``). Returns ``(y, new_layer_state)`` or
+    ``None`` when the shape doesn't block evenly (callers unfuse)."""
+    from mdgat_tpu.ops.mlp import BN_MOMENTUM
+
+    b, n, d = x.shape
+    m = source.shape[1]
+    if (b % _mha_blocking(b, num_heads, n, m, exact, topk) != 0
+            or d % num_heads != 0):
+        return None
+    y, mean, var = fused_train_layer(topk, num_heads, exact, interpret,
+                                     layer_params, x, source, kv_mask,
+                                     valid_mask)
+    st1 = layer_state["mlp"][0]
+    if valid_mask is None:
+        cnt = jnp.asarray(float(b * n), jnp.float32)
+    else:
+        cnt = jnp.maximum(jnp.sum(valid_mask.astype(jnp.float32)), 1.0)
+    unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
+    mom = BN_MOMENTUM
+    new_st1 = {
+        "mean": ((1 - mom) * st1["mean"]
+                 + mom * mean.astype(st1["mean"].dtype)),
+        "var": ((1 - mom) * st1["var"]
+                + mom * unbiased.astype(st1["var"].dtype)),
+    }
+    return y, {"mlp": [new_st1, layer_state["mlp"][1]]}

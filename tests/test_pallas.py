@@ -366,3 +366,100 @@ def test_fused_mha_gradient_parity(topk, masked, selfattn):
     for a, bb_ in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("topk,masked", [
+    (None, False), (6, False), (None, True), (6, True),
+])
+def test_fused_train_layer_parity(topk, masked):
+    """Whole-layer TRAIN kernel pair (fused MHA + MLP + batch-stat BN +
+    residual, custom VJP) == the XLA train path: outputs, updated running
+    stats, and gradients w.r.t. params/x/source. Exact top-k so the
+    comparison isolates the kernel math (f32 internals set the noise
+    floor)."""
+    from mdgat_tpu.models.gnn import (attentional_propagation_apply,
+                                      attentional_propagation_init)
+    from mdgat_tpu.ops.pallas.attention import fused_train_layer_apply
+
+    d, heads, b, n, m = 32, 4, 4, 24, 20
+    p, st = attentional_propagation_init(jax.random.PRNGKey(3), d, heads,
+                                         dtype=jnp.float64)
+    rng = np.random.default_rng(7 + (topk or 0) + masked)
+    x = jnp.asarray(rng.normal(size=(b, n, d)))
+    src = jnp.asarray(rng.normal(size=(b, m, d)))
+    vm = km = None
+    if masked:
+        vm = jnp.asarray(np.arange(n)[None, :]
+                         < rng.integers(n // 2, n + 1, b)[:, None])
+        km = jnp.asarray(np.arange(m)[None, :]
+                         < rng.integers(m // 2, m + 1, b)[:, None])
+    g = jnp.asarray(rng.normal(size=(b, n, d)))
+
+    def xla(p, x, src):
+        delta, nst = attentional_propagation_apply(
+            p, st, x, src, topk, heads, train=True, valid_mask=vm,
+            kv_mask=km, use_pallas=False)
+        return x + delta, nst
+
+    def fused(p, x, src):
+        out = fused_train_layer_apply(p, st, x, src, topk, heads,
+                                      valid_mask=vm, kv_mask=km,
+                                      exact=True, interpret=True)
+        assert out is not None
+        return out
+
+    y1, nst1 = xla(p, x, src)
+    y2, nst2 = fused(p, x, src)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(nst2["mlp"][0]["mean"]),
+                               np.asarray(nst1["mlp"][0]["mean"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nst2["mlp"][0]["var"]),
+                               np.asarray(nst1["mlp"][0]["var"]),
+                               rtol=1e-5, atol=1e-6)
+
+    g1 = jax.grad(lambda p, x, s: jnp.sum(xla(p, x, s)[0] * g),
+                  argnums=(0, 1, 2))(p, x, src)
+    g2 = jax.grad(lambda p, x, s: jnp.sum(fused(p, x, s)[0] * g),
+                  argnums=(0, 1, 2))(p, x, src)
+    for a, r in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-5)
+
+
+def test_fused_train_layer_multi_program_stats():
+    """batch 8 > block size runs the BN-stat and weight-grad accumulators
+    over a multi-program sequential grid (the real TPU configuration) —
+    exercises the pl.when init + '+=' pattern in all four TL kernels."""
+    from mdgat_tpu.models.gnn import (attentional_propagation_apply,
+                                      attentional_propagation_init)
+    from mdgat_tpu.ops.pallas.attention import fused_train_layer_apply
+
+    d, heads, b, n = 16, 4, 8, 12
+    p, st = attentional_propagation_init(jax.random.PRNGKey(4), d, heads,
+                                         dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(b, n, d)))
+    src = jnp.asarray(rng.normal(size=(b, n, d)))
+    g = jnp.asarray(rng.normal(size=(b, n, d)))
+
+    def xla(p):
+        delta, nst = attentional_propagation_apply(
+            p, st, x, src, 6, heads, train=True, use_pallas=False)
+        return jnp.sum((x + delta) * g), nst
+
+    def fused(p):
+        y, nst = fused_train_layer_apply(p, st, x, src, 6, heads,
+                                         exact=True, interpret=True)
+        return jnp.sum(y * g), nst
+
+    (l1, nst1), g1 = jax.value_and_grad(xla, has_aux=True)(p)
+    (l2, nst2), g2 = jax.value_and_grad(fused, has_aux=True)(p)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(nst2["mlp"][0]["var"]),
+                               np.asarray(nst1["mlp"][0]["var"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, r in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=3e-4, atol=3e-5)
