@@ -99,6 +99,8 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                    help="train: fuse the whole GNN layer (MHA + MLP + "
                         "batch-stat BN + residual) into one Pallas "
                         "custom-VJP kernel pair")
+    p.add_argument("--pallas_loss", type=_parse_bool, default=True,
+                   help="fused gap-loss kernel (custom VJP)")
     p.add_argument("--pallas_interpret", type=_parse_bool, default=False,
                    help="run the Pallas kernels on the CPU interpreter "
                         "(full-Pallas integration path without a TPU)")
@@ -161,6 +163,7 @@ def config_from_args(args, preset: str) -> Config:
         pallas_attention=args.pallas_attention,
         pallas_exact_topk=args.pallas_exact_topk,
         pallas_train_layer=args.pallas_train_layer,
+        pallas_loss=args.pallas_loss,
         pallas_interpret=args.pallas_interpret,
         scan_gnn_pairs=args.scan_gnn_pairs,
         seed=args.seed,

@@ -75,6 +75,7 @@ class Config:
     pallas_train_layer: bool = True  # train: whole-layer fused kernel pair
                                      # (fused MHA + MLP + batch-stat BN +
                                      # residual, custom VJP)
+    pallas_loss: bool = True         # fused gap-loss kernel (custom VJP)
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
     scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer

@@ -232,8 +232,14 @@ class MDGAT:
                 loss = triplet_loss(ot, gt0, gt1, cfg.triplet_loss_gamma,
                                     mask0, mask1)
             elif cfg.loss_method == "gap_loss":
-                loss = gap_loss(ot, gt0, gt1, cfg.triplet_loss_gamma,
-                                mask0, mask1)
+                if use_pallas and cfg.pallas_loss:
+                    from mdgat_tpu.ops.pallas.loss import pallas_gap_loss
+                    loss = pallas_gap_loss(
+                        ot, gt0, gt1, cfg.triplet_loss_gamma, mask0, mask1,
+                        interpret=jax.default_backend() == "cpu")
+                else:
+                    loss = gap_loss(ot, gt0, gt1, cfg.triplet_loss_gamma,
+                                    mask0, mask1)
             else:
                 raise ValueError(f"Invalid loss_method: {cfg.loss_method}")
             out["loss"] = loss

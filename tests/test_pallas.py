@@ -463,3 +463,47 @@ def test_fused_train_layer_multi_program_stats():
     for a, r in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_gap_loss_parity(masked):
+    """Fused gap-loss custom VJP == ops/losses.gap_loss: [B] losses and
+    gradients w.r.t. dense/bin_row/bin_col, with dustbin-anchored rows
+    (gt = -1) and masked anchors in the mix."""
+    from mdgat_tpu.ops.losses import gap_loss
+    from mdgat_tpu.ops.pallas.loss import pallas_gap_loss
+    from mdgat_tpu.ops.transport import OTScores
+
+    rng = np.random.default_rng(17 + masked)
+    b, n, m = 3, 20, 24
+    dense = jnp.asarray(rng.normal(size=(b, n, m)))
+    binr = jnp.asarray(rng.normal(size=(b, m)))
+    binc = jnp.asarray(rng.normal(size=(b, n)))
+    corner = jnp.asarray(rng.normal(size=(b,)))
+    gt0 = jnp.asarray(rng.integers(-1, m, (b, n)), jnp.int32)
+    gt1 = jnp.asarray(rng.integers(-1, n, (b, m)), jnp.int32)
+    rm = cm = None
+    if masked:
+        rm = jnp.asarray(np.arange(n)[None, :]
+                         < rng.integers(n // 2, n + 1, b)[:, None])
+        cm = jnp.asarray(np.arange(m)[None, :]
+                         < rng.integers(m // 2, m + 1, b)[:, None])
+
+    def xla(dense, binr, binc):
+        ot = OTScores(dense, binr, binc, corner)
+        return gap_loss(ot, gt0, gt1, 0.5, rm, cm)
+
+    def fused(dense, binr, binc):
+        ot = OTScores(dense, binr, binc, corner)
+        return pallas_gap_loss(ot, gt0, gt1, 0.5, rm, cm, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(fused(dense, binr, binc)),
+                               np.asarray(xla(dense, binr, binc)),
+                               rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda *a: jnp.sum(xla(*a)), argnums=(0, 1, 2))(
+        dense, binr, binc)
+    g2 = jax.grad(lambda *a: jnp.sum(fused(*a)), argnums=(0, 1, 2))(
+        dense, binr, binc)
+    for a, r in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-6, atol=1e-7)
