@@ -1019,8 +1019,8 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
         h1 = _dot(x_ref[b].astype(dt), w1x) + _dot(msg, w1m) + b1
         h1_ref[b] = h1.astype(out_dt)
         if has_vmask:
-            mrow = (vmask_ref[b] > 0.5).astype(dt)           # [1, N]
-            h1m = h1 * mrow.reshape(n, 1)
+            mcol = (vmask_ref[b] > 0.5).astype(dt)           # [N, 1]
+            h1m = h1 * mcol
             ssum_acc = ssum_acc + jnp.sum(h1m, axis=0, keepdims=True)
             ssq_acc = ssq_acc + jnp.sum(h1m * h1, axis=0, keepdims=True)
         else:
@@ -1160,8 +1160,9 @@ def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, g_ref,
         G = dh2 * relu_m * scale                             # d hhat
         corr = c1 + hhat * c2
         if has_vmask:
-            mrow = (vmask_ref[b] > 0.5).astype(dt).reshape(n, 1)
-            corr = corr * mrow
+            # mask pre-transposed to [N, 1] on host (no in-kernel
+            # sublane<->lane relayout)
+            corr = corr * (vmask_ref[b] > 0.5).astype(dt)
         dh1 = inv * (G - corr)                               # [N, 2D]
         dmsg = jax.lax.dot_general(                          # dh1 w1m^T [N,D]
             dh1, w1m, (((1,), (1,)), ((), ())),
@@ -1209,9 +1210,18 @@ def _tl_mlp_weights(layer_params):
 
 
 def _vmaskf(mask, b, n):
+    """kv-side mask as [B, 1, M] (lane-broadcast in-kernel)."""
     if mask is None:
         return jnp.ones((b, 1, n), jnp.float32)
     return jnp.broadcast_to(mask.astype(jnp.float32)[:, None, :], (b, 1, n))
+
+
+def _vmaskf_col(mask, b, n):
+    """x-row validity mask as [B, N, 1] — column orientation so kernels
+    never transpose a vector across the sublane/lane split."""
+    if mask is None:
+        return jnp.ones((b, n, 1), jnp.float32)
+    return mask.astype(jnp.float32)[:, :, None]
 
 
 def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
@@ -1226,7 +1236,7 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
     weights = _mha_weights(lp["attn"], num_heads, dh, scale)
     w1x, w1m, b1, w2, b2, bn_scale, bn_bias = _tl_mlp_weights(lp)
     kvm = _vmaskf(kv_mask, b, m)
-    vmf = _vmaskf(vmask, b, n)
+    vmf = _vmaskf_col(vmask, b, n)
 
     bb = _mha_blocking(b, num_heads, n, m, exact, topk)
     kern1 = functools.partial(
@@ -1237,7 +1247,7 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
         kern1,
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
-                  _blk((bb, 1, n)),
+                  _blk((bb, n, 1)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, 2 * d)), _rep((d, 2 * d)), _rep((1, 2 * d))],
@@ -1317,7 +1327,7 @@ def _ftl_bwd(topk, num_heads, exact, interpret, res, cts):
     weights = _mha_weights(lp["attn"], num_heads, dh, scale)
     w1x, w1m, b1, w2, b2, bn_scale, bn_bias = _tl_mlp_weights(lp)
     kvm = _vmaskf(kv_mask, b, m)
-    vmf = _vmaskf(vmask, b, n)
+    vmf = _vmaskf_col(vmask, b, n)
     inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, f32))
     vec4 = jnp.stack([mean, inv, bn_scale, bn_bias])         # [4, 2D]
     g = g.astype(x.dtype)
@@ -1350,7 +1360,7 @@ def _ftl_bwd(topk, num_heads, exact, interpret, res, cts):
         kern2,
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
-                  _blk((bb, 1, n)), _blk((bb, num_heads, n, 1)),
+                  _blk((bb, n, 1)), _blk((bb, num_heads, n, 1)),
                   _blk((bb, n, d)), _blk((bb, n, 2 * d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
