@@ -96,7 +96,10 @@ def bench_tpu():
     # -> 97.7; fused-MHA custom VJP (projections+attention+merge in one
     # kernel pair, no split-heads relayouts) + concat-free MLP -> 72.2;
     # head-blocked kernel weights (full-D projection matmuls) -> 65.9;
-    # decomposed-dustbin gap loss (no [B,N,M+1] concat slab) -> 62.5
+    # decomposed-dustbin gap loss (no [B,N,M+1] concat slab) -> 62.5.
+    # Round 3: train-mode whole-layer fused kernels (MHA+MLP+batch-BN+
+    # residual custom VJP) -> 60.8; the step is now ~93% kernel time
+    # (XLA glue ~1.6 ms/step, profiled)
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",

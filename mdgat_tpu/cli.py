@@ -99,8 +99,9 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                    help="train: fuse the whole GNN layer (MHA + MLP + "
                         "batch-stat BN + residual) into one Pallas "
                         "custom-VJP kernel pair")
-    p.add_argument("--pallas_loss", type=_parse_bool, default=True,
-                   help="fused gap-loss kernel (custom VJP)")
+    p.add_argument("--pallas_loss", type=_parse_bool, default=False,
+                   help="fused gap-loss kernel (custom VJP); measured "
+                        "neutral vs the XLA loss on v5e, off by default")
     p.add_argument("--pallas_interpret", type=_parse_bool, default=False,
                    help="run the Pallas kernels on the CPU interpreter "
                         "(full-Pallas integration path without a TPU)")

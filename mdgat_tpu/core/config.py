@@ -75,7 +75,11 @@ class Config:
     pallas_train_layer: bool = True  # train: whole-layer fused kernel pair
                                      # (fused MHA + MLP + batch-stat BN +
                                      # residual, custom VJP)
-    pallas_loss: bool = True         # fused gap-loss kernel (custom VJP)
+    pallas_loss: bool = False        # fused gap-loss kernel (custom VJP).
+                                     # Measured NEUTRAL-to-slightly-slower
+                                     # end-to-end on v5e (XLA already fuses
+                                     # the loss well) — off by default,
+                                     # kept as gated infrastructure
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
     scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer

@@ -1437,8 +1437,14 @@ def fused_train_layer_apply(layer_params, layer_state, x, source,
 
     b, n, d = x.shape
     m = source.shape[1]
-    if (b % _mha_blocking(b, num_heads, n, m, exact, topk) != 0
-            or d % num_heads != 0):
+    if d % num_heads != 0:
+        return None
+    # Size gate (measured, v5e): at the reference config (N=M=512,
+    # backward bb=2) the fused layer wins ~2% end-to-end (62.1 -> 60.8
+    # ms/step); at the 1024-kpt stretch config (bb=1) the extra
+    # h1 round-trips + two added kernel launches made it ~5% SLOWER
+    # (37.9 -> 39.8 ms/step) — fall back to fused-MHA + XLA MLP there.
+    if 5 * n * m * 4 > 13 * 1024 * 1024:
         return None
     y, mean, var = fused_train_layer(topk, num_heads, exact, interpret,
                                      layer_params, x, source, kv_mask,

@@ -32,7 +32,7 @@ def main(mode: str = "eval", n_top: int = 25):
         from mdgat_tpu.train import create_train_state, make_train_step
         model, params, state, batch = _flagship(
             compute_dtype="bfloat16", param_dtype="float32",
-            n=512, batch=64, remat_gnn=True)
+            n=512, batch=64, remat_gnn=True, scan_gnn_pairs=False)
         ts, tx = create_train_state(model, jax.random.PRNGKey(0), 1e-4)
         step = make_train_step(model, tx, donate=False)
         run = lambda: step(ts, batch)[1]["loss"]
@@ -58,6 +58,11 @@ def main(mode: str = "eval", n_top: int = 25):
             continue
         ev_names = plane.event_metadata
         for line in plane.lines:
+            # only the synchronous per-op occupancy line: async copy-start
+            # events span WAIT time and drown the real ops (see memory
+            # note / round-2 profiling)
+            if line.name != "XLA Ops":  # NB: "Async XLA Ops" superstring
+                continue
             for ev in line.events:
                 name = ev_names[ev.metadata_id].name
                 totals[name] = totals.get(name, 0) + ev.duration_ps
