@@ -82,18 +82,21 @@ def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
         # the sequential batch grid (see ops/pallas/attention.py TL-*).
         # Sequential cloud0-then-cloud1 application preserves the
         # reference's twice-per-layer running-stat update.
+        from mdgat_tpu.ops.mlp import bn_axis_name
         from mdgat_tpu.ops.pallas.attention import fused_train_layer_apply
         interp = jax.default_backend() == "cpu"
+        axis = bn_axis_name()  # cross-replica BN under shard_map
         r0 = fused_train_layer_apply(p, st, desc0, src0, k, num_heads,
                                      mask0, kvm0,
                                      exact=use_pallas == "exact",
-                                     interpret=interp)
+                                     interpret=interp, axis_name=axis)
         if r0 is not None:
             d0, st = r0
             d1, st = fused_train_layer_apply(p, st, desc1, src1, k,
                                              num_heads, mask1, kvm1,
                                              exact=use_pallas == "exact",
-                                             interpret=interp)
+                                             interpret=interp,
+                                             axis_name=axis)
             return d0, d1, st
     if use_pallas and not train:
         # eval: whole layer (attention + merge + MLP + residual) in one

@@ -141,8 +141,22 @@ class MDGAT:
 
     # ------------------------------------------------------------------
     def apply(self, params, state, data, train: bool = False,
-              return_full_scores: bool = False):
-        """Full forward pass. Returns (outputs dict, new_state)."""
+              return_full_scores: bool = False, axis_name=None):
+        """Full forward pass. Returns (outputs dict, new_state).
+
+        ``axis_name``: cross-replica mesh axis when running inside an
+        explicit ``shard_map`` (see ``parallel/smap.py``) — train-mode
+        BatchNorm statistics then psum over it so per-shard execution
+        reproduces the global-batch numerics. None under plain jit
+        (sharding propagation) or single-device runs.
+        """
+        from mdgat_tpu.ops.mlp import bn_cross_replica
+        with bn_cross_replica(axis_name if train else None):
+            return self._apply(params, state, data, train,
+                               return_full_scores)
+
+    def _apply(self, params, state, data, train: bool = False,
+               return_full_scores: bool = False):
         cfg = self.config
         desc0, desc1, new_state = self.encode(params, state, data, train)
         mask0 = data.get("mask0")

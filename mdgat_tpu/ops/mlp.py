@@ -29,6 +29,38 @@ import jax.numpy as jnp
 BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 
+# Cross-replica BatchNorm: under an explicit shard_map execution (see
+# parallel/smap.py) each device holds a batch SHARD, but train-mode BN
+# must normalize with GLOBAL batch statistics to match the reference's
+# single-process numerics (torch BatchNorm1d over the full batch;
+# DataParallel replicas each saw the full gathered stats only because the
+# reference ran BN on gathered activations). The axis name is trace-time
+# state set by the model's apply() — signatures stay unchanged; the stat
+# reductions below psum over it when set.
+_BN_AXIS: list = [None]
+
+
+class bn_cross_replica:
+    """Context manager: BN batch stats psum over ``axis_name`` while
+    tracing (no-op when ``axis_name`` is None)."""
+
+    def __init__(self, axis_name):
+        self.axis_name = axis_name
+
+    def __enter__(self):
+        self.prev = _BN_AXIS[0]
+        _BN_AXIS[0] = self.axis_name
+        return self
+
+    def __exit__(self, *exc):
+        _BN_AXIS[0] = self.prev
+        return False
+
+
+def bn_axis_name():
+    """The active cross-replica BN axis (None outside shard_map)."""
+    return _BN_AXIS[0]
+
 
 # ---------------------------------------------------------------------------
 # init — matches torch defaults so converted / fresh checkpoints behave alike
@@ -102,9 +134,20 @@ def _batchnorm(bn, st, x, train: bool, axes):
     scale = bn["scale"].astype(x.dtype)
     bias = bn["bias"].astype(x.dtype)
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)  # biased, as torch uses for normalization
-        n = x.size // mean.size
+        axis = bn_axis_name()
+        if axis is None:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)  # biased, as torch normalizes with
+            n = x.size // mean.size
+        else:
+            # shard_map execution: GLOBAL batch stats across replicas
+            n_local = 1
+            for a in axes:
+                n_local *= x.shape[a]
+            n = n_local * jax.lax.psum(1, axis)
+            mean = jax.lax.psum(jnp.sum(x, axis=axes), axis) / n
+            var = jax.lax.psum(jnp.sum((x - mean) ** 2, axis=axes),
+                               axis) / n
         unbiased = var * (n / max(n - 1, 1))
         # torch: running_mean <- batch mean, running_var <- unbiased batch var
         new_st = {
@@ -157,11 +200,21 @@ def mlp_apply(params, state, x, train: bool = False,
         if "bn" in layer:
             if valid_mask is not None and train:
                 # masked batch stats: reduce over all non-channel axes
+                # (+ the cross-replica axis under shard_map, see _BN_AXIS)
                 m = valid_mask[..., None].astype(h.dtype)
-                cnt = jnp.maximum(jnp.sum(m), 1.0)
                 axes = tuple(range(h.ndim - 1))
-                mean = jnp.sum(h * m, axis=axes) / cnt
-                var = jnp.sum((h - mean) ** 2 * m, axis=axes) / cnt
+                axis = bn_axis_name()
+                if axis is None:
+                    cnt = jnp.maximum(jnp.sum(m), 1.0)
+                    mean = jnp.sum(h * m, axis=axes) / cnt
+                    var = jnp.sum((h - mean) ** 2 * m, axis=axes) / cnt
+                else:
+                    cnt = jnp.maximum(
+                        jax.lax.psum(jnp.sum(m), axis), 1.0)
+                    mean = jax.lax.psum(
+                        jnp.sum(h * m, axis=axes), axis) / cnt
+                    var = jax.lax.psum(
+                        jnp.sum((h - mean) ** 2 * m, axis=axes), axis) / cnt
                 inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, h.dtype))
                 scale = layer["bn"]["scale"].astype(h.dtype)
                 bias = layer["bn"]["bias"].astype(h.dtype)

@@ -1225,7 +1225,7 @@ def _vmaskf_col(mask, b, n):
 
 
 def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
-                  interpret):
+                  interpret, axis_name=None):
     from mdgat_tpu.ops.mlp import BN_EPS
 
     b, n, d = x.shape
@@ -1263,10 +1263,14 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
     )(x, source, kvm, vmf, *weights, w1x, w1m, b1)
 
     # scalar-sized XLA epilogue: masked single-pass mean/var + BN affine
+    # (psum'd across replicas under shard_map: GLOBAL batch statistics)
     if vmask is None:
         cnt = jnp.asarray(b * n, f32)
     else:
-        cnt = jnp.maximum(jnp.sum(vmask.astype(f32)), 1.0)
+        cnt = jnp.sum(vmask.astype(f32))
+    if axis_name is not None:
+        cnt, ssum, ssq = jax.lax.psum((cnt, ssum, ssq), axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
     mean = ssum[0] / cnt
     var = jnp.maximum(ssq[0] / cnt - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + jnp.asarray(BN_EPS, f32))
@@ -1289,22 +1293,24 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
     return y, mean, var, cnt, thr, h1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def fused_train_layer(topk, num_heads, exact, interpret,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_train_layer(topk, num_heads, exact, interpret, axis_name,
                       lp, x, source, kv_mask, vmask):
     """Whole AttentionalPropagation layer under TRAINING semantics
     (batch-stat BatchNorm) as two Pallas kernels each way; returns
     ``(y, batch_mean, batch_var)`` — the mean/var feed the running-stat
     update outside (non-differentiable observation, as in torch)."""
     y, mean, var, _, _, _ = _tl_fwd_calls(
-        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret)
+        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret,
+        axis_name)
     return y, mean, var
 
 
-def _ftl_fwd(topk, num_heads, exact, interpret, lp, x, source, kv_mask,
-             vmask):
+def _ftl_fwd(topk, num_heads, exact, interpret, axis_name, lp, x, source,
+             kv_mask, vmask):
     y, mean, var, cnt, thr, h1 = _tl_fwd_calls(
-        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret)
+        lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret,
+        axis_name)
     from jax.ad_checkpoint import checkpoint_name
     thr = checkpoint_name(thr, "attn_thr")
     h1 = checkpoint_name(h1, "layer_h1")
@@ -1314,7 +1320,7 @@ def _ftl_fwd(topk, num_heads, exact, interpret, lp, x, source, kv_mask,
     return (y, mean, var), res
 
 
-def _ftl_bwd(topk, num_heads, exact, interpret, res, cts):
+def _ftl_bwd(topk, num_heads, exact, interpret, axis_name, res, cts):
     from mdgat_tpu.ops.mlp import BN_EPS
 
     g, _g_mean, _g_var = cts                  # mean/var: zero cotangents
@@ -1352,6 +1358,11 @@ def _ftl_bwd(topk, num_heads, exact, interpret, res, cts):
         interpret=interpret,
     )(g, h1, w2, vec4)
 
+    if axis_name is not None:
+        # the BN-backward reduction vectors span ALL replicas' rows (every
+        # row is normalized with the global mean/var); cnt in residuals is
+        # already global
+        sg, sgh = jax.lax.psum((sg, sgh), axis_name)
     vec6 = jnp.concatenate([vec4, sg / cnt, sgh / cnt])      # [6, 2D]
     kern2 = functools.partial(_tl_bwd2_kernel, num_heads=num_heads,
                               block_b=bb, has_mask=kv_mask is not None,
@@ -1428,7 +1439,8 @@ fused_train_layer.defvjp(_ftl_fwd, _ftl_bwd)
 def fused_train_layer_apply(layer_params, layer_state, x, source,
                             topk: Optional[int], num_heads: int,
                             valid_mask=None, kv_mask=None,
-                            exact: bool = False, interpret: bool = False):
+                            exact: bool = False, interpret: bool = False,
+                            axis_name=None):
     """Training-mode fused layer entry: runs the custom-VJP kernel pair
     and performs the running-stat update (the ``mlp_apply`` train-mode
     formula, ``ops/mlp.py:100-119``). Returns ``(y, new_layer_state)`` or
@@ -1447,13 +1459,16 @@ def fused_train_layer_apply(layer_params, layer_state, x, source,
     if 5 * n * m * 4 > 13 * 1024 * 1024:
         return None
     y, mean, var = fused_train_layer(topk, num_heads, exact, interpret,
-                                     layer_params, x, source, kv_mask,
-                                     valid_mask)
+                                     axis_name, layer_params, x, source,
+                                     kv_mask, valid_mask)
     st1 = layer_state["mlp"][0]
     if valid_mask is None:
         cnt = jnp.asarray(float(b * n), jnp.float32)
     else:
-        cnt = jnp.maximum(jnp.sum(valid_mask.astype(jnp.float32)), 1.0)
+        cnt = jnp.sum(valid_mask.astype(jnp.float32))
+    if axis_name is not None:
+        cnt = jax.lax.psum(cnt, axis_name)
+    cnt = jnp.maximum(cnt, 1.0)
     unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
     mom = BN_MOMENTUM
     new_st1 = {
