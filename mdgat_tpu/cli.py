@@ -105,6 +105,12 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
     p.add_argument("--pallas_interpret", type=_parse_bool, default=False,
                    help="run the Pallas kernels on the CPU interpreter "
                         "(full-Pallas integration path without a TPU)")
+    p.add_argument("--shard_map", type=str, default="auto",
+                   choices=["auto", "true", "false"],
+                   help="explicit shard_map execution over the data mesh "
+                        "axis (per-shard Pallas kernels, pmean'd grads, "
+                        "psum'd BN stats); auto = on when data>1 with the "
+                        "Pallas kernels enabled and no seq sharding")
     p.add_argument("--synthetic", type=_parse_bool, default=False,
                    help="generate a synthetic KITTI-format dataset under "
                         "--train_path if keypoints are absent (demo mode)")
@@ -166,6 +172,8 @@ def config_from_args(args, preset: str) -> Config:
         pallas_train_layer=args.pallas_train_layer,
         pallas_loss=args.pallas_loss,
         pallas_interpret=args.pallas_interpret,
+        shard_map=(None if args.shard_map == "auto"
+                   else args.shard_map == "true"),
         scan_gnn_pairs=args.scan_gnn_pairs,
         seed=args.seed,
     )

@@ -80,6 +80,14 @@ class Config:
                                      # end-to-end on v5e (XLA already fuses
                                      # the loss well) — off by default,
                                      # kept as gated infrastructure
+    shard_map: Optional[bool] = None  # explicit shard_map execution over
+                                      # the data axis (parallel/smap.py):
+                                      # per-shard Pallas kernels + pmean
+                                      # grads + psum'd BN stats. None=auto:
+                                      # on when data>1, seq==1 and the
+                                      # Pallas kernels are enabled (plain
+                                      # jit has no pallas_call partitioning
+                                      # rule — operands get all-gathered)
     donate_state: bool = True
     remat_gnn: bool = True          # checkpoint GNN layers in training
     scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer
@@ -116,6 +124,18 @@ class Config:
             else:
                 ks.append(None)
         return ks
+
+    def resolve_shard_map(self, n_data: int) -> bool:
+        """Whether to run the explicit shard_map path over an ``n_data``-way
+        data axis. Explicit True/False wins; auto (None) turns it on when
+        the Pallas kernels are enabled on a multi-device data axis with no
+        seq sharding — the configuration where sharding propagation would
+        all-gather every kernel operand (parallel/smap.py)."""
+        if self.shard_map is not None:
+            return self.shard_map and n_data > 1
+        return (n_data > 1 and self.seq_parallel == 1
+                and (self.use_pallas or self.pallas_attention
+                     or self.pallas_train_layer))
 
     def model_name(self) -> str:
         """Run-name scheme of the reference (``train.py:130-136``)."""

@@ -106,3 +106,26 @@ def test_pallas_interpret_flag():
     assert cfg.pallas_interpret is True
     assert config_from_args(
         build_parser("test").parse_args([]), "test").pallas_interpret is False
+
+
+def test_shard_map_flag_and_resolution():
+    """--shard_map auto/true/false -> Config.shard_map None/True/False,
+    and resolve_shard_map picks the explicit path exactly when the Pallas
+    kernels would otherwise be replicated (data>1, seq==1, kernels on)."""
+    mk = lambda *argv: config_from_args(
+        build_parser("train").parse_args(list(argv)), "train")
+    assert mk().shard_map is None                       # default = auto
+    assert mk("--shard_map", "true").shard_map is True
+    assert mk("--shard_map", "false").shard_map is False
+
+    auto = mk()
+    assert auto.resolve_shard_map(8) is True            # kernels default on
+    assert auto.resolve_shard_map(1) is False           # single device
+    assert auto.replace(seq_parallel=2).resolve_shard_map(8) is False
+    no_kernels = auto.replace(use_pallas=False, pallas_attention=False,
+                              pallas_train_layer=False)
+    assert no_kernels.resolve_shard_map(8) is False     # propagation is fine
+    # explicit settings win over the auto rule
+    assert no_kernels.replace(shard_map=True).resolve_shard_map(8) is True
+    assert auto.replace(shard_map=False).resolve_shard_map(8) is False
+    assert auto.replace(shard_map=True).resolve_shard_map(1) is False

@@ -95,12 +95,24 @@ def main():
                      seq=cfg.seq_parallel)
     n_data = mesh.shape["data"]
     state = replicate(state, mesh)
-    train_step = make_train_step(model, tx)
-    eval_step = make_eval_step(model)
+    use_smap = cfg.resolve_shard_map(n_data)
+    if use_smap:
+        # explicit per-shard execution: the Pallas kernels have no SPMD
+        # partitioning rule under plain jit (operands would be
+        # all-gathered); shard_map runs them per batch shard with pmean'd
+        # grads + psum'd BN batch stats (parallel/smap.py)
+        from mdgat_tpu.parallel import (make_shard_map_eval_step,
+                                        make_shard_map_train_step)
+        train_step = make_shard_map_train_step(model, tx, mesh,
+                                               donate=cfg.donate_state)
+        eval_step = make_shard_map_eval_step(model, mesh)
+    else:
+        train_step = make_train_step(model, tx, donate=cfg.donate_state)
+        eval_step = make_eval_step(model)
     timer = PhaseTimer()
 
-    print(f"mesh: {dict(mesh.shape)} | train pairs: {len(train_set)} | "
-          f"val pairs: {len(val_set)}")
+    print(f"mesh: {dict(mesh.shape)} | shard_map: {use_smap} | "
+          f"train pairs: {len(train_set)} | val pairs: {len(val_set)}")
 
     for epoch in range(start_epoch, cfg.epoch + 1):
         t_epoch = time.time()
