@@ -36,7 +36,7 @@ class EvalPipeline:
                  batch_size: int,
                  fetch: Sequence[str] = ("matches0",),
                  fetch_gt: Sequence[str] = ("gt_matches0",),
-                 depth: int = 2):
+                 depth: int = 2, shard_inputs=None):
         self.dataset = dataset
         self.prepare = prepare
         self.eval_step = eval_step
@@ -46,6 +46,10 @@ class EvalPipeline:
         self.fetch = tuple(fetch)
         self.fetch_gt = tuple(fetch_gt)
         self.depth = depth
+        # optional device placement for multi-device eval: applied to the
+        # model inputs before dispatch (e.g. shard_batch over the mesh
+        # `data` axis for the shard_map eval step, parallel/smap.py)
+        self.shard_inputs = shard_inputs
 
     def _produce(self, q: queue.Queue):
         try:
@@ -112,8 +116,10 @@ class EvalPipeline:
             prepared = self.prepare(batch)
             if n_real is not None:
                 batch["__n_real__"] = n_real
-            out = self.eval_step(self.params, self.bn_state,
-                                 model_inputs(prepared))
+            inputs = model_inputs(prepared)
+            if self.shard_inputs is not None:
+                inputs = self.shard_inputs(inputs)
+            out = self.eval_step(self.params, self.bn_state, inputs)
             small = {k: out[k] for k in self.fetch}
             for k in self.fetch_gt:
                 small[k] = prepared[k]

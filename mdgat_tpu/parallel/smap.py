@@ -81,3 +81,34 @@ def make_shard_map_eval_step(model, mesh: Mesh) -> Callable:
                             in_specs=(P(), P(), P("data")),
                             out_specs=P("data"), check_vma=False)
     return jax.jit(smapped)
+
+
+def make_eval_runtime(model, cfg, params, bn_state, batch_size: int):
+    """Eval-CLI execution setup: ``(eval_step, params, bn_state,
+    shard_inputs)``.
+
+    Multi-device data axis with the Pallas kernels enabled
+    (``Config.resolve_shard_map``) -> the shard_map per-shard-kernel eval
+    step with replicated params and a ``shard_batch`` input hook for the
+    EvalPipeline; otherwise the plain jitted step (single device, or
+    sharding propagation handles the XLA-op path). Falls back to plain
+    with a warning when ``batch_size`` doesn't divide over the mesh (the
+    shard_map in_specs need equal shards)."""
+    import sys
+
+    from mdgat_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mdgat_tpu.train.loop import make_eval_step
+
+    mesh = make_mesh(data=cfg.data_parallel or None, seq=1)
+    n_data = mesh.shape["data"]
+    if not cfg.resolve_shard_map(n_data):
+        return make_eval_step(model), params, bn_state, None
+    if batch_size % n_data != 0:
+        print(f"[warn] batch_size {batch_size} not divisible by the "
+              f"{n_data}-device data axis; shard_map eval disabled "
+              "(set --batch_size to a multiple or --shard_map false)",
+              file=sys.stderr)
+        return make_eval_step(model), params, bn_state, None
+    step = make_shard_map_eval_step(model, mesh)
+    params, bn_state = replicate((params, bn_state), mesh)
+    return step, params, bn_state, (lambda d: shard_batch(d, mesh))

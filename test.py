@@ -32,7 +32,7 @@ def main():
     from mdgat_tpu.eval import TestEvalAccumulator
     from mdgat_tpu.eval.runner import EvalPipeline
     from mdgat_tpu.models import build_model
-    from mdgat_tpu.train import make_eval_step
+    from mdgat_tpu.parallel import make_eval_runtime
 
     cfg = maybe_generate_synthetic(cfg, args)
     model = build_model(cfg)
@@ -61,7 +61,10 @@ def main():
                                cfg.compute_dtype,
                                "float64" if cfg.compute_dtype == "float64"
                                else "float32")
-    eval_step = make_eval_step(model)
+    # multi-device data axis -> shard_map per-shard-kernel eval
+    # (parallel/smap.py); single device -> plain jitted step
+    eval_step, params, bn_state, shard_inputs = make_eval_runtime(
+        model, cfg, params, bn_state, cfg.batch_size)
 
     acc = TestEvalAccumulator()
     t0 = time.time()
@@ -73,7 +76,8 @@ def main():
     fetch = (("matches0", "matching_scores0") if args.visualize
              else ("matches0",))
     pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
-                            cfg.batch_size, fetch=fetch)
+                            cfg.batch_size, fetch=fetch,
+                            shard_inputs=shard_inputs)
     for batch, out in pipeline:
         gt_host = out
 

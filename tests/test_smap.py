@@ -136,3 +136,35 @@ def test_shard_map_eval_has_no_collectives():
                         shard_batch(batch, mesh)).compile().as_text()
     assert hlo.count("all-gather") == 0, hlo.count("all-gather")
     assert hlo.count("all-reduce") == 0, hlo.count("all-reduce")
+
+
+def test_make_eval_runtime_selects_and_matches():
+    """The eval-CLI runtime helper: picks the shard_map step + shard hook
+    on a multi-device data axis (outputs identical to the plain step),
+    and falls back to the plain step on non-divisible batch sizes."""
+    from mdgat_tpu.parallel import make_eval_runtime
+
+    cfg = tiny_cfg().replace(data_parallel=8)
+    model = MDGAT(cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(11))
+    batch = _masked(real_gt_batch(cfg, b=8, seed=13))
+
+    step, p, s, shard_inputs = make_eval_runtime(model, cfg, params,
+                                                 bn_state, batch_size=8)
+    assert shard_inputs is not None
+    out_sm = step(p, s, shard_inputs(batch))
+
+    out_ref = make_eval_step(model)(params, bn_state, batch)
+    np.testing.assert_array_equal(np.asarray(out_sm["matches0"]),
+                                  np.asarray(out_ref["matches0"]))
+    np.testing.assert_allclose(np.asarray(out_sm["loss"]),
+                               np.asarray(out_ref["loss"]), rtol=1e-9)
+
+    # batch 6 over 8 devices: plain step, no shard hook
+    _, _, _, fb = make_eval_runtime(model, cfg, params, bn_state,
+                                    batch_size=6)
+    assert fb is None
+    # explicit off: plain step even when divisible
+    _, _, _, off = make_eval_runtime(model, cfg.replace(shard_map=False),
+                                     params, bn_state, batch_size=8)
+    assert off is None
