@@ -73,6 +73,32 @@ def probe_matmul():
         kernel, out_shape=jax.ShapeDtypeStruct((256, 256), jnp.bfloat16))(a, b)
 
 
+def probe_matmul_f32acc():
+    """bf16 x bf16 -> f32 MXU matmul (f32 accumulation) — the MXU's
+    native fast mode; the kernels currently up-cast operands to f32
+    first, which may cost multi-pass f32 matmuls."""
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...], b_ref[...],
+                             preferred_element_type=jnp.float32)
+
+    a = jnp.asarray(np.random.randn(256, 128), jnp.bfloat16)
+    b = jnp.asarray(np.random.randn(128, 256), jnp.bfloat16)
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32))(a, b)
+
+
+def probe_matmul_mixed():
+    """f32 x bf16 -> f32 matmul (mixed operand dtypes)."""
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...], b_ref[...],
+                             preferred_element_type=jnp.float32)
+
+    a = jnp.asarray(np.random.randn(256, 128), jnp.float32)
+    b = jnp.asarray(np.random.randn(128, 256), jnp.bfloat16)
+    return pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((256, 256), jnp.float32))(a, b)
+
+
 def probe_scalar_broadcast():
     """bf16 scalar threshold broadcast against a bf16 block."""
     def kernel(x_ref, t_ref, o_ref):
@@ -90,5 +116,6 @@ if __name__ == "__main__":
     print(f"backend: {jax.default_backend()}, {jax.devices()}")
     results = {p.__name__: _run(p.__name__, p) for p in
                (probe_compare_reduce, probe_softmax, probe_matmul,
+                probe_matmul_f32acc, probe_matmul_mixed,
                 probe_scalar_broadcast)}
     sys.exit(0 if all(results.values()) else 1)
