@@ -9,7 +9,11 @@ CLIs that in-process tests cannot see (reference protocol:
 ``test.py:314-342``).
 
 Subprocesses run on CPU (JAX_PLATFORMS=cpu) with the shared persistent
-compile cache, so reruns cost seconds after the first compile.
+compile cache, so reruns cost seconds after the first compile. They
+inherit the suite's 8-virtual-device XLA_FLAGS (conftest.py), so the
+training fixture ALSO exercises the auto-selected shard_map path
+(``--shard_map auto`` -> explicit per-shard execution on the 8-way data
+axis) end-to-end at the CLI surface.
 """
 
 import os
@@ -91,3 +95,18 @@ def test_registration_recall_clears_bar(trained_checkpoint):
     assert m, f"missing summary row in:\n{out[-2000:]}"
     rr = float(m.group(3))
     assert rr > 0.6, f"registration recall too low: {rr}"
+
+
+def test_shard_map_cli_eval_matches_plain(trained_checkpoint):
+    """test.py on the 8-device mesh (auto shard_map eval) prints the SAME
+    aggregate metrics line as the plain single-program path on the same
+    checkpoint — the §5.8 capability proven at the shipped CLI surface."""
+    data, ck = trained_checkpoint
+    args = ["--train_path", data, "--resume_model", ck,
+            "--max_pairs", "24"]
+    sharded = _run("test.py", args, cwd=_REPO)
+    plain = _run("test.py", args + ["--shard_map", "false"], cwd=_REPO)
+    agg = lambda out: [ln for ln in out.splitlines()
+                       if ln.startswith("average repeatibility")]
+    assert agg(sharded) and agg(sharded) == agg(plain), (
+        f"sharded:\n{agg(sharded)}\nplain:\n{agg(plain)}")
