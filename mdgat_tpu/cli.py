@@ -185,15 +185,10 @@ def config_from_args(args, preset: str) -> Config:
 def setup_jax(cfg: Config, args=None):
     import jax
     if args is not None and getattr(args, "platform", ""):
-        # must precede any backend initialization (same dance as
-        # tests/conftest.py — the axon site hook force-sets
-        # jax_platforms, so the env var alone cannot select CPU)
-        jax.config.update("jax_platforms", args.platform)
-        try:
-            from jax.extend.backend import clear_backends
-            clear_backends()
-        except Exception:
-            pass
+        # must precede any backend initialization (the axon site hook
+        # force-sets jax_platforms, so the env var alone cannot select CPU)
+        from mdgat_tpu.core.platform import force_platform
+        force_platform(args.platform)
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",

@@ -133,9 +133,13 @@ class Config:
         all-gather every kernel operand (parallel/smap.py)."""
         if self.shard_map is not None:
             return self.shard_map and n_data > 1
+        # pallas_train_layer is deliberately NOT part of the gate: it only
+        # takes effect when pallas_attention is on (models/mdgat.py routes
+        # the gnn's use_pallas from pallas_attention), so alone it runs no
+        # kernel; pallas_loss runs its kernel independently.
         return (n_data > 1 and self.seq_parallel == 1
                 and (self.use_pallas or self.pallas_attention
-                     or self.pallas_train_layer))
+                     or self.pallas_loss))
 
     def model_name(self) -> str:
         """Run-name scheme of the reference (``train.py:130-136``)."""

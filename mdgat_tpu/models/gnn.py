@@ -83,15 +83,22 @@ def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
         # Sequential cloud0-then-cloud1 application preserves the
         # reference's twice-per-layer running-stat update.
         from mdgat_tpu.ops.mlp import bn_axis_name
-        from mdgat_tpu.ops.pallas.attention import fused_train_layer_apply
+        from mdgat_tpu.ops.pallas.attention import (
+            fused_train_layer_apply, fused_train_layer_fits)
         interp = jax.default_backend() == "cpu"
         axis = bn_axis_name()  # cross-replica BN under shard_map
-        r0 = fused_train_layer_apply(p, st, desc0, src0, k, num_heads,
-                                     mask0, kvm0,
-                                     exact=use_pallas == "exact",
-                                     interpret=interp, axis_name=axis)
-        if r0 is not None:
-            d0, st = r0
+        d = desc0.shape[-1]
+        # BOTH cloud applications must fit before committing to the fused
+        # path (differently-padded clouds could straddle the size gate)
+        if (fused_train_layer_fits(num_heads, d, desc0.shape[1],
+                                   src0.shape[1])
+                and fused_train_layer_fits(num_heads, d, desc1.shape[1],
+                                           src1.shape[1])):
+            d0, st = fused_train_layer_apply(p, st, desc0, src0, k,
+                                             num_heads, mask0, kvm0,
+                                             exact=use_pallas == "exact",
+                                             interpret=interp,
+                                             axis_name=axis)
             d1, st = fused_train_layer_apply(p, st, desc1, src1, k,
                                              num_heads, mask1, kvm1,
                                              exact=use_pallas == "exact",

@@ -246,7 +246,9 @@ class MDGAT:
                 loss = triplet_loss(ot, gt0, gt1, cfg.triplet_loss_gamma,
                                     mask0, mask1)
             elif cfg.loss_method == "gap_loss":
-                if use_pallas and cfg.pallas_loss:
+                # independent of the Sinkhorn kernel choice: the fused
+                # loss consumes the transport block either way
+                if cfg.pallas_loss and on_accel:
                     from mdgat_tpu.ops.pallas.loss import pallas_gap_loss
                     loss = pallas_gap_loss(
                         ot, gt0, gt1, cfg.triplet_loss_gamma, mask0, mask1,

@@ -1436,6 +1436,21 @@ def _ftl_bwd(topk, num_heads, exact, interpret, axis_name, res, cts):
 fused_train_layer.defvjp(_ftl_fwd, _ftl_bwd)
 
 
+def fused_train_layer_fits(num_heads: int, d: int, n: int, m: int) -> bool:
+    """Whether the train-mode fused layer kernel applies to these shapes.
+
+    Size gate (measured, v5e): at the reference config (N=M=512,
+    backward bb=2) the fused layer wins ~2% end-to-end (62.1 -> 60.8
+    ms/step); at the 1024-kpt stretch config (bb=1) the extra h1
+    round-trips + two added kernel launches made it ~5% SLOWER
+    (37.9 -> 39.8 ms/step) — fall back to fused-MHA + XLA MLP there.
+    Callers that apply the kernel to several tensors (gnn layer: both
+    clouds) must check every shape pair BEFORE committing to the fused
+    path — ``fused_train_layer_apply`` returns None exactly when this
+    predicate is False."""
+    return d % num_heads == 0 and 5 * n * m * 4 <= 13 * 1024 * 1024
+
+
 def fused_train_layer_apply(layer_params, layer_state, x, source,
                             topk: Optional[int], num_heads: int,
                             valid_mask=None, kv_mask=None,
@@ -1449,14 +1464,7 @@ def fused_train_layer_apply(layer_params, layer_state, x, source,
 
     b, n, d = x.shape
     m = source.shape[1]
-    if d % num_heads != 0:
-        return None
-    # Size gate (measured, v5e): at the reference config (N=M=512,
-    # backward bb=2) the fused layer wins ~2% end-to-end (62.1 -> 60.8
-    # ms/step); at the 1024-kpt stretch config (bb=1) the extra
-    # h1 round-trips + two added kernel launches made it ~5% SLOWER
-    # (37.9 -> 39.8 ms/step) — fall back to fused-MHA + XLA MLP there.
-    if 5 * n * m * 4 > 13 * 1024 * 1024:
+    if not fused_train_layer_fits(num_heads, d, n, m):
         return None
     y, mean, var = fused_train_layer(topk, num_heads, exact, interpret,
                                      axis_name, layer_params, x, source,

@@ -28,12 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG_NEG = -1e30
-
-
-def _blk(shape):
-    return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (len(shape) - 1),
-                        memory_space=pltpu.VMEM)
+from mdgat_tpu.ops.pallas.attention import BIG_NEG, _blk
 
 
 def _gap_blocking(b, n, m):
@@ -46,7 +41,7 @@ def _gap_blocking(b, n, m):
     return bb
 
 
-def _dir0(d, cm, binc, gt0, g, n, m):
+def _dir0(d, cm, binc, gt0, n, m):
     """Direction 0 shared forward recompute: anchors = rows.
 
     Returns (d0, is_pos0 [N,M], at_bin0 [N,1], pos0 [N,1])."""
@@ -63,7 +58,7 @@ def _dir0(d, cm, binc, gt0, g, n, m):
     return d0, is_pos, at_bin, pos
 
 
-def _dir1(d, rm, binr, gt1, g, n, m):
+def _dir1(d, rm, binr, gt1, n, m):
     """Direction 1 shared forward recompute: anchors = cols."""
     f32 = jnp.float32
     neg = jnp.asarray(BIG_NEG, f32)
@@ -94,14 +89,14 @@ def _gap_fwd_kernel(dense_ref, binr_ref, binc_ref, gt0_ref, gt1_ref,
         gt0 = gt0_ref[e]                                     # [N, 1] i32
         gt1 = gt1_ref[e]                                     # [1, M] i32
 
-        d0, is_pos0, at_bin0, pos0 = _dir0(d, cm, binc, gt0, g, n, m)
+        d0, is_pos0, at_bin0, pos0 = _dir0(d, cm, binc, gt0, n, m)
         contrib0 = jnp.maximum(d0 - pos0 + g, 0.0) \
             * (~is_pos0).astype(f32)
         bin_term0 = jnp.maximum(binc - pos0 + g, 0.0) \
             * (~at_bin0).astype(f32)                         # [N, 1]
         s0_ref[e] = jnp.sum(contrib0, axis=1, keepdims=True) + bin_term0
 
-        d1, is_pos1, at_bin1, pos1 = _dir1(d, rm, binr, gt1, g, n, m)
+        d1, is_pos1, at_bin1, pos1 = _dir1(d, rm, binr, gt1, n, m)
         contrib1 = jnp.maximum(d1 - pos1 + g, 0.0) \
             * (~is_pos1).astype(f32)
         bin_term1 = jnp.maximum(binr - pos1 + g, 0.0) \
@@ -129,7 +124,7 @@ def _gap_bwd_kernel(dense_ref, binr_ref, binc_ref, gt0_ref, gt1_ref,
         ds1 = ds1_ref[e].astype(f32)                         # [1, M]
 
         # ---- direction 0 ----
-        d0, is_pos0, at_bin0, pos0 = _dir0(d, cm, binc, gt0, g, n, m)
+        d0, is_pos0, at_bin0, pos0 = _dir0(d, cm, binc, gt0, n, m)
         i0 = ((d0 - pos0 + g) > 0.0) & (~is_pos0)            # [N, M]
         bi0 = ((binc - pos0 + g) > 0.0) & (~at_bin0)         # [N, 1]
         i0f = i0.astype(f32)
@@ -140,7 +135,7 @@ def _gap_bwd_kernel(dense_ref, binr_ref, binc_ref, gt0_ref, gt1_ref,
                    + ds0 * bi0.astype(f32))                  # [N, 1]
 
         # ---- direction 1 ----
-        d1, is_pos1, at_bin1, pos1 = _dir1(d, rm, binr, gt1, g, n, m)
+        d1, is_pos1, at_bin1, pos1 = _dir1(d, rm, binr, gt1, n, m)
         i1 = ((d1 - pos1 + g) > 0.0) & (~is_pos1)
         bi1 = ((binr - pos1 + g) > 0.0) & (~at_bin1)         # [1, M]
         i1f = i1.astype(f32)

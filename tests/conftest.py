@@ -13,16 +13,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+import sys  # noqa: E402
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
 # The axon TPU plugin force-sets jax_platforms="axon,cpu" from
 # sitecustomize; tests must run on the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
-try:
-    from jax.extend.backend import clear_backends
-    clear_backends()
-except Exception:
-    pass
+from mdgat_tpu.core.platform import force_platform  # noqa: E402
+
+force_platform("cpu")
 
 jax.config.update("jax_enable_x64", True)
 # single-core box: persistent compile cache makes repeat test runs cheap

@@ -122,9 +122,13 @@ def test_shard_map_flag_and_resolution():
     assert auto.resolve_shard_map(8) is True            # kernels default on
     assert auto.resolve_shard_map(1) is False           # single device
     assert auto.replace(seq_parallel=2).resolve_shard_map(8) is False
-    no_kernels = auto.replace(use_pallas=False, pallas_attention=False,
-                              pallas_train_layer=False)
+    # pallas_train_layer alone runs no kernel (it needs pallas_attention,
+    # models/mdgat.py:183) — it must NOT trigger the auto gate
+    no_kernels = auto.replace(use_pallas=False, pallas_attention=False)
+    assert no_kernels.pallas_train_layer is True
     assert no_kernels.resolve_shard_map(8) is False     # propagation is fine
+    # pallas_loss runs independently of the Sinkhorn kernel -> gate on
+    assert no_kernels.replace(pallas_loss=True).resolve_shard_map(8) is True
     # explicit settings win over the auto rule
     assert no_kernels.replace(shard_map=True).resolve_shard_map(8) is True
     assert auto.replace(shard_map=False).resolve_shard_map(8) is False

@@ -96,6 +96,13 @@ def main():
     n_data = mesh.shape["data"]
     state = replicate(state, mesh)
     use_smap = cfg.resolve_shard_map(n_data)
+    if use_smap and cfg.batch_size % n_data != 0:
+        # the shard_map in_specs need equal batch shards — same graceful
+        # fallback as make_eval_runtime (parallel/smap.py)
+        print(f"[warn] batch_size {cfg.batch_size} not divisible by the "
+              f"{n_data}-device data axis; shard_map training disabled "
+              "(set --batch_size to a multiple or --shard_map false)")
+        use_smap = False
     if use_smap:
         # explicit per-shard execution: the Pallas kernels have no SPMD
         # partitioning rule under plain jit (operands would be
