@@ -323,6 +323,12 @@ def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
     dalpha_ref[...] = dalpha
 
 
+# Backward element-blocking budget for the ~5 live [E,N,M] reverse-step
+# buffers. 10 MB -> eb=2 at the reference N=M=512; probed raising it
+# (tools/probe_sinkhorn_eb.py) before widening.
+_BWD_EB_BUDGET = 10 * 2 ** 20
+
+
 def _bwd_call(scalars, dense, log_mu, log_nu, g: OTScores,
               interpret: bool, iters: int):
     b, n, m = dense.shape
@@ -330,7 +336,7 @@ def _bwd_call(scalars, dense, log_mu, log_nu, g: OTScores,
     # ~5 live [E, n, m]-sized f32 buffers per reverse step (Z, dO-in-dz,
     # dz, contrib, recompute temp)
     eb = 8
-    while eb > 1 and 5 * eb * n * m * jnp.dtype(dt).itemsize > 10 * 2 ** 20:
+    while eb > 1 and 5 * eb * n * m * jnp.dtype(dt).itemsize > _BWD_EB_BUDGET:
         eb //= 2
     while b % eb != 0:
         eb //= 2
