@@ -186,6 +186,34 @@ def test_gnn_scan_equals_unrolled():
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-12)
 
 
+def test_pallas_loss_gate_independent_of_use_pallas(monkeypatch):
+    """``--pallas_loss`` must run the fused gap-loss kernel even with the
+    Sinkhorn/attention kernels off (the kernel consumes the transport
+    block either way, ``models/mdgat.py``) — and match the XLA loss."""
+    import mdgat_tpu.ops.pallas.loss as ploss
+    calls = []
+    real = ploss.pallas_gap_loss
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ploss, "pallas_gap_loss", spy)
+    cfg_x = tiny_cfg(compute_dtype="float32", param_dtype="float32")
+    cfg_p = cfg_x.replace(use_pallas=False, pallas_attention=False,
+                          pallas_loss=True, pallas_interpret=True)
+    model_x, model_p = MDGAT(cfg_x), MDGAT(cfg_p)
+    params, state = model_x.init(jax.random.PRNGKey(4))
+    batch = tiny_batch(cfg_x)
+    out_x, _ = model_x.apply(params, state, batch, train=True)
+    assert not calls
+    out_p, _ = model_p.apply(params, state, batch, train=True)
+    assert calls, "fused gap-loss kernel was not invoked"
+    np.testing.assert_allclose(np.asarray(out_p["loss"]),
+                               np.asarray(out_x["loss"]),
+                               rtol=2e-5, atol=1e-6)
+
+
 def test_full_model_pallas_interpret_matches_xla():
     """End-to-end TPU code path (fused MHA custom VJP + trainable Pallas
     Sinkhorn) on the CPU interpreter vs the pure-XLA path: train-mode
