@@ -127,19 +127,21 @@ class Config:
 
     def resolve_shard_map(self, n_data: int) -> bool:
         """Whether to run the explicit shard_map path over an ``n_data``-way
-        data axis. Explicit True/False wins; auto (None) turns it on when
-        the Pallas kernels are enabled on a multi-device data axis with no
-        seq sharding — the configuration where sharding propagation would
-        all-gather every kernel operand (parallel/smap.py)."""
+        data axis (and the ``seq_parallel``-way keypoint axis). Explicit
+        True/False wins; auto (None) turns it on when the Pallas kernels
+        are enabled on a multi-device mesh — the configuration where
+        sharding propagation would all-gather every kernel operand
+        (parallel/smap.py; seq-sharded kernels run context-parallel with
+        per-layer K/V gathers there)."""
+        multi = n_data > 1 or self.seq_parallel > 1
         if self.shard_map is not None:
-            return self.shard_map and n_data > 1
+            return self.shard_map and multi
         # pallas_train_layer is deliberately NOT part of the gate: it only
         # takes effect when pallas_attention is on (models/mdgat.py routes
         # the gnn's use_pallas from pallas_attention), so alone it runs no
         # kernel; pallas_loss runs its kernel independently.
-        return (n_data > 1 and self.seq_parallel == 1
-                and (self.use_pallas or self.pallas_attention
-                     or self.pallas_loss))
+        return multi and (self.use_pallas or self.pallas_attention
+                          or self.pallas_loss)
 
     def model_name(self) -> str:
         """Run-name scheme of the reference (``train.py:130-136``)."""

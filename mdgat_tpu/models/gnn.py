@@ -71,11 +71,23 @@ def gnn_init(key, feature_dim: int, n_layers: int, num_heads: int = 4,
 
 
 def _apply_layer(p, st, desc0, desc1, name, k, num_heads, train,
-                 mask0, mask1, use_pallas, train_layer=True):
+                 mask0, mask1, use_pallas, train_layer=True,
+                 seq_axis=None):
     if name == "cross":
         src0, src1, kvm0, kvm1 = desc1, desc0, mask1, mask0
     else:
         src0, src1, kvm0, kvm1 = desc0, desc1, mask0, mask1
+    if seq_axis is not None:
+        # context-parallel shard_map execution (parallel/smap.py): the
+        # keypoint axis is sharded over ``seq_axis``. Queries stay local;
+        # the key/value side needs every row — all-gather the [B, N/s, C]
+        # ACTIVATIONS over ICI (cheap: O(N·C), never the N×M score slab).
+        # Gradient flow back through the gather is its transpose
+        # (psum-scatter), restoring exact single-device numerics.
+        gather = lambda x: None if x is None else jax.lax.all_gather(
+            x, seq_axis, axis=1, tiled=True)
+        src0, src1 = gather(src0), gather(src1)
+        kvm0, kvm1 = gather(kvm0), gather(kvm1)
     if use_pallas and train and train_layer:
         # train: whole layer (fused MHA + MLP + batch-stat BN + residual)
         # as a custom-VJP Pallas kernel pair each way; the BN stats ride
@@ -141,7 +153,7 @@ def gnn_apply(params, states, desc0, desc1,
               num_heads: int = 4, train=False,
               mask0=None, mask1=None, use_pallas: bool = False,
               scan_pairs: bool = True, remat: bool = False,
-              train_layer: bool = True):
+              train_layer: bool = True, seq_axis=None):
     """Run the full GNN stack; returns (desc0, desc1, new_states).
 
     ``scan_pairs``: consecutive layer *pairs* with identical
@@ -173,12 +185,12 @@ def gnn_apply(params, states, desc0, desc1,
             fn = _apply_layer
             if remat:
                 fn = jax.checkpoint(_apply_layer,
-                                    static_argnums=(4, 5, 6, 7, 10, 11),
+                                    static_argnums=(4, 5, 6, 7, 10, 11, 12),
                                     policy=remat_policy)
             desc0, desc1, st = fn(
                 params[i], states[i], desc0, desc1, layer_names[i],
                 k_schedule[i], num_heads, train, mask0, mask1, use_pallas,
-                train_layer)
+                train_layer, seq_axis)
             new_states.append(st)
         return desc0, desc1, new_states
 
@@ -201,10 +213,10 @@ def gnn_apply(params, states, desc0, desc1,
         def pair_step(d0, d1, pA, sA, pB, sB):
             d0, d1, sA2 = _apply_layer(pA, sA, d0, d1, nameA, kA,
                                        num_heads, train, mask0, mask1,
-                                       use_pallas, train_layer)
+                                       use_pallas, train_layer, seq_axis)
             d0, d1, sB2 = _apply_layer(pB, sB, d0, d1, nameB, kB,
                                        num_heads, train, mask0, mask1,
-                                       use_pallas, train_layer)
+                                       use_pallas, train_layer, seq_axis)
             return d0, d1, sA2, sB2
 
         if remat:

@@ -141,22 +141,32 @@ class MDGAT:
 
     # ------------------------------------------------------------------
     def apply(self, params, state, data, train: bool = False,
-              return_full_scores: bool = False, axis_name=None):
+              return_full_scores: bool = False, axis_name=None,
+              seq_axis=None, seq_size: int = 1):
         """Full forward pass. Returns (outputs dict, new_state).
 
-        ``axis_name``: cross-replica mesh axis when running inside an
-        explicit ``shard_map`` (see ``parallel/smap.py``) — train-mode
-        BatchNorm statistics then psum over it so per-shard execution
-        reproduces the global-batch numerics. None under plain jit
-        (sharding propagation) or single-device runs.
+        ``axis_name``: cross-replica mesh axis (or tuple of axes) when
+        running inside an explicit ``shard_map`` (see ``parallel/smap.py``)
+        — train-mode BatchNorm statistics then psum over it so per-shard
+        execution reproduces the global-batch numerics. None under plain
+        jit (sharding propagation) or single-device runs.
+
+        ``seq_axis``/``seq_size``: context-parallel shard_map execution —
+        the keypoint axis of every batch input is sharded over the named
+        mesh axis of (static) size ``seq_size``. The GNN runs on local
+        query rows with per-layer all-gathered key/value activations; the
+        O(iters·N·M) OT/decision/loss tail runs on all-gathered
+        descriptors, replicated over the (small) seq axis — see
+        ``parallel/smap.py`` for the gradient-reduction contract.
         """
         from mdgat_tpu.ops.mlp import bn_cross_replica
         with bn_cross_replica(axis_name if train else None):
             return self._apply(params, state, data, train,
-                               return_full_scores)
+                               return_full_scores, seq_axis, seq_size)
 
     def _apply(self, params, state, data, train: bool = False,
-               return_full_scores: bool = False):
+               return_full_scores: bool = False, seq_axis=None,
+               seq_size: int = 1):
         cfg = self.config
         desc0, desc1, new_state = self.encode(params, state, data, train)
         mask0 = data.get("mask0")
@@ -185,7 +195,9 @@ class MDGAT:
             pallas_attn = "exact"
 
         if run_gnn:
-            n = desc0.shape[1]
+            # k-schedule gates compare against the GLOBAL keypoint count
+            # (the local shape is N/seq_size under context parallelism)
+            n = desc0.shape[1] * seq_size
             k_sched = cfg.layer_k_schedule(n)
             desc0, desc1, st_gnn = gnn_apply(
                 params["gnn"], state["gnn"], desc0, desc1,
@@ -193,12 +205,27 @@ class MDGAT:
                 mask0, mask1, use_pallas=pallas_attn,
                 remat=cfg.remat_gnn and train,
                 scan_pairs=cfg.scan_gnn_pairs,
-                train_layer=cfg.pallas_train_layer)
+                train_layer=cfg.pallas_train_layer, seq_axis=seq_axis)
             new_state["gnn"] = st_gnn
             mdesc0 = conv1x1_apply(params["final_proj"], desc0)
             mdesc1 = conv1x1_apply(params["final_proj"], desc1)
         else:
             mdesc0, mdesc1 = desc0, desc1
+
+        if seq_axis is not None:
+            # context-parallel tail: the O(L·N²·C) GNN above ran sharded;
+            # the OT/decision/loss tail is O(iters·N·M) with per-iteration
+            # global row/col reductions — gather the [B, N/s, C]
+            # DESCRIPTORS (activations, not the N×M score slab) and run
+            # the tail replicated over the small seq axis instead of
+            # distributing the Sinkhorn reductions. The redundancy costs
+            # (s−1)/s of a ~5%-of-step stage; the gradient double-count it
+            # creates is cancelled by the 1/s loss cotangent scale +
+            # psum-over-seq grad reduction in parallel/smap.py.
+            gather = lambda x: None if x is None else jax.lax.all_gather(
+                x, seq_axis, axis=1, tiled=True)
+            mdesc0, mdesc1 = gather(mdesc0), gather(mdesc1)
+            mask0, mask1 = gather(mask0), gather(mask1)
 
         # scaled inner-product scores (models/mdgat.py:430-431).
         # Mixed precision: the OT/decision/loss stages run in >= float32
@@ -240,6 +267,12 @@ class MDGAT:
         if "gt_matches0" in data:
             gt0 = data["gt_matches0"].astype(jnp.int32)
             gt1 = data["gt_matches1"].astype(jnp.int32)
+            if seq_axis is not None:
+                # gt values index the GLOBAL row/col axes (host-computed
+                # on the full clouds); gather the seq-sharded vectors to
+                # match the gathered transport
+                gt0 = jax.lax.all_gather(gt0, seq_axis, axis=1, tiled=True)
+                gt1 = jax.lax.all_gather(gt1, seq_axis, axis=1, tiled=True)
             if cfg.loss_method == "superglue":
                 loss = superglue_nll_loss(ot, gt0, gt1, mask0, mask1)
             elif cfg.loss_method == "triplet_loss":

@@ -29,6 +29,7 @@ def make_mesh(data: Optional[int] = None, seq: int = 1,
     n = len(devices)
     if data is None:
         data = n // seq
+    assert data >= 1, f"{seq}-way seq axis exceeds the {n} devices"
     assert data * seq <= n, f"mesh {data}x{seq} exceeds {n} devices"
     dev = np.asarray(devices[: data * seq]).reshape(data, seq)
     return Mesh(dev, axis_names=("data", "seq"))
@@ -46,11 +47,16 @@ _BATCH_KEY_SPECS = {
 }
 
 
-def batch_sharding(mesh: Mesh, key: str, shard_seq: bool = False):
+def batch_pspec(key: str, shard_seq: bool = False) -> P:
+    """PartitionSpec for a batch key (shard_map in_specs / device_put)."""
     spec = _BATCH_KEY_SPECS.get(key, P("data"))
     if not shard_seq:
         spec = P(*([spec[0]] + [None] * (len(spec) - 1)))
-    return NamedSharding(mesh, spec)
+    return spec
+
+
+def batch_sharding(mesh: Mesh, key: str, shard_seq: bool = False):
+    return NamedSharding(mesh, batch_pspec(key, shard_seq))
 
 
 def shard_batch(batch: Dict, mesh: Mesh, shard_seq: bool = False) -> Dict:

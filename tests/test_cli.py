@@ -111,7 +111,8 @@ def test_pallas_interpret_flag():
 def test_shard_map_flag_and_resolution():
     """--shard_map auto/true/false -> Config.shard_map None/True/False,
     and resolve_shard_map picks the explicit path exactly when the Pallas
-    kernels would otherwise be replicated (data>1, seq==1, kernels on)."""
+    kernels would otherwise be replicated (multi-device mesh — data and/or
+    seq axis — with kernels on)."""
     mk = lambda *argv: config_from_args(
         build_parser("train").parse_args(list(argv)), "train")
     assert mk().shard_map is None                       # default = auto
@@ -121,12 +122,16 @@ def test_shard_map_flag_and_resolution():
     auto = mk()
     assert auto.resolve_shard_map(8) is True            # kernels default on
     assert auto.resolve_shard_map(1) is False           # single device
-    assert auto.replace(seq_parallel=2).resolve_shard_map(8) is False
+    # seq (context) parallelism also runs under shard_map now — the
+    # kernels are per-shard with gathered K/V (parallel/smap.py)
+    assert auto.replace(seq_parallel=2).resolve_shard_map(8) is True
+    assert auto.replace(seq_parallel=2).resolve_shard_map(1) is True
     # pallas_train_layer alone runs no kernel (it needs pallas_attention,
     # models/mdgat.py:183) — it must NOT trigger the auto gate
     no_kernels = auto.replace(use_pallas=False, pallas_attention=False)
     assert no_kernels.pallas_train_layer is True
     assert no_kernels.resolve_shard_map(8) is False     # propagation is fine
+    assert no_kernels.replace(seq_parallel=2).resolve_shard_map(8) is False
     # pallas_loss runs independently of the Sinkhorn kernel -> gate on
     assert no_kernels.replace(pallas_loss=True).resolve_shard_map(8) is True
     # explicit settings win over the auto rule

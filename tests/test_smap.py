@@ -64,6 +64,97 @@ def test_shard_map_train_matches_single_device(masked):
                                    rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.parametrize("mesh_shape", [(4, 2)])
+def test_shard_map_seq_train_matches_single_device(mesh_shape):
+    """Context-parallel shard_map train step (keypoints sharded over
+    ``seq``: local-query GNN with per-layer gathered K/V, replicated
+    OT/loss tail with the 1/s cotangent scale + psum-over-seq grad
+    reduction) == the unsharded step on the same global batch. Parity is
+    the proof the gathers/reductions are right — a missing collective
+    under check_vma=False would show up as wrong numbers."""
+    data, seq = mesh_shape
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    state, tx = create_train_state(model, jax.random.PRNGKey(6), 1e-4)
+    batch = _masked(real_gt_batch(cfg, b=8, seed=11))
+
+    step_ref = make_train_step(model, tx, donate=False)
+    state_ref, m_ref = step_ref(state, batch)
+
+    mesh = make_mesh(data=data, seq=seq)
+    step_sm = make_shard_map_train_step(model, tx, mesh, donate=False)
+    state_sm, m_sm = step_sm(replicate(state, mesh),
+                             shard_batch(batch, mesh, shard_seq=True))
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_ref["loss"]),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(m_sm["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-8)
+    for a, b in zip(jax.tree.leaves(state_sm.params),
+                    jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+    for a, b in zip(jax.tree.leaves(state_sm.bn_state),
+                    jax.tree.leaves(state_ref.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_shard_map_seq_pallas_interpret_matches_single_device():
+    """The full Pallas path under context-parallel shard_map: the fused
+    train-layer kernels run on RECTANGULAR shapes (local queries x
+    gathered keys) with BN stats psum'd over (data, seq)."""
+    cfg = tiny_cfg(pallas_interpret=True, use_pallas=True,
+                   pallas_attention=True)
+    model = MDGAT(cfg)
+    state, tx = create_train_state(model, jax.random.PRNGKey(8), 1e-4)
+    batch = _masked(real_gt_batch(cfg, b=8, seed=15))
+
+    step_ref = make_train_step(model, tx, donate=False)
+    state_ref, m_ref = step_ref(state, batch)
+
+    mesh = make_mesh(data=4, seq=2)
+    step_sm = make_shard_map_train_step(model, tx, mesh, donate=False)
+    state_sm, m_sm = step_sm(replicate(state, mesh),
+                             shard_batch(batch, mesh, shard_seq=True))
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_sm["grad_norm"]),
+                               float(m_ref["grad_norm"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state_sm.bn_state),
+                    jax.tree.leaves(state_ref.bn_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # params after ONE Adam step: bound by the step size (see the data-
+    # axis interpret test above)
+    for a, b in zip(jax.tree.leaves(state_sm.params),
+                    jax.tree.leaves(state_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2.1e-4)
+
+
+def test_shard_map_seq_eval_matches_single_device():
+    """Eval under the (2 data x 4 seq) mesh: the tail runs on gathered
+    descriptors, so matches/scores are full-N per data shard and must
+    equal the single-device outputs exactly (global indices)."""
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, bn_state = model.init(jax.random.PRNGKey(9))
+    batch = _masked(real_gt_batch(cfg, b=8, seed=17))
+
+    out_ref = make_eval_step(model)(params, bn_state, batch)
+
+    mesh = make_mesh(data=2, seq=4)
+    step_sm = make_shard_map_eval_step(model, mesh)
+    out_sm = step_sm(replicate(params, mesh), replicate(bn_state, mesh),
+                     shard_batch(batch, mesh, shard_seq=True))
+    np.testing.assert_array_equal(np.asarray(out_sm["matches0"]),
+                                  np.asarray(out_ref["matches0"]))
+    np.testing.assert_array_equal(np.asarray(out_sm["matches1"]),
+                                  np.asarray(out_ref["matches1"]))
+    np.testing.assert_allclose(np.asarray(out_sm["loss"]),
+                               np.asarray(out_ref["loss"]), rtol=1e-9)
+
+
 def test_shard_map_eval_matches_single_device():
     cfg = tiny_cfg()
     model = MDGAT(cfg)
@@ -168,3 +259,21 @@ def test_make_eval_runtime_selects_and_matches():
     _, _, _, off = make_eval_runtime(model, cfg.replace(shard_map=False),
                                      params, bn_state, batch_size=8)
     assert off is None
+
+    # context-parallel eval: (4 data x 2 seq) mesh, keypoints sharded —
+    # outputs must still match the plain step exactly (global indices)
+    cfg_seq = cfg.replace(data_parallel=4, seq_parallel=2)
+    step2, p2, s2, hook2 = make_eval_runtime(model, cfg_seq, params,
+                                             bn_state, batch_size=8)
+    assert hook2 is not None
+    out_seq = step2(p2, s2, hook2(batch))
+    np.testing.assert_array_equal(np.asarray(out_seq["matches0"]),
+                                  np.asarray(out_ref["matches0"]))
+    np.testing.assert_allclose(np.asarray(out_seq["loss"]),
+                               np.asarray(out_ref["loss"]), rtol=1e-9)
+    # keypoint grain (max_keypoints=24, ensure mode) not divisible by a
+    # 5-way seq axis: graceful fallback to the plain step
+    _, _, _, fb2 = make_eval_runtime(
+        model, cfg.replace(data_parallel=1, seq_parallel=5), params,
+        bn_state, batch_size=8)
+    assert fb2 is None

@@ -103,6 +103,14 @@ def main():
               f"{n_data}-device data axis; shard_map training disabled "
               "(set --batch_size to a multiple or --shard_map false)")
         use_smap = False
+    if (use_smap and cfg.seq_parallel > 1
+            and cfg.max_keypoints % cfg.seq_parallel != 0):
+        # the seq in_specs need equal keypoint shards; sharding
+        # propagation handles an uneven split (implicit GSPMD padding)
+        print(f"[warn] max_keypoints {cfg.max_keypoints} not divisible by "
+              f"the {cfg.seq_parallel}-device seq axis; shard_map training "
+              "disabled (set --max_keypoints to a multiple)")
+        use_smap = False
     if use_smap:
         # explicit per-shard execution: the Pallas kernels have no SPMD
         # partitioning rule under plain jit (operands would be
