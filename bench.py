@@ -98,8 +98,10 @@ def bench_tpu():
     # head-blocked kernel weights (full-D projection matmuls) -> 65.9;
     # decomposed-dustbin gap loss (no [B,N,M+1] concat slab) -> 62.5.
     # Round 3: train-mode whole-layer fused kernels (MHA+MLP+batch-BN+
-    # residual custom VJP) -> 60.8; the step is now ~93% kernel time
-    # (XLA glue ~1.6 ms/step, profiled)
+    # residual custom VJP) -> 60.8 (the step is ~93% kernel time, XLA
+    # glue ~1.6 ms/step, profiled); logsumexp residual in the attention
+    # custom VJPs (backward rebuilds probabilities as exp(s - lse)
+    # instead of re-running the mask/max/exp/sum/divide sweeps) -> 57.6
     from mdgat_tpu.train import create_train_state, make_train_step
     tmodel, _, _, tdata = g._flagship(
         compute_dtype="bfloat16", param_dtype="float32",

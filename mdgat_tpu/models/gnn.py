@@ -167,8 +167,9 @@ def gnn_apply(params, states, desc0, desc1,
     (~10 GB at the reference train config of batch 64 / N 512, which
     overflows a 16 GB chip; the reference spread this over 4 GPUs via
     DataParallel). The policy keeps the Pallas attention output and its
-    per-row threshold (tagged in ``_fused_mha_fwd``) so the replay skips the
-    attention kernel and recomputes only projections/merge/MLP; with the
+    per-row threshold + logsumexp (tagged in ``_fused_mha_fwd``) so the
+    replay skips the attention kernel and recomputes only
+    projections/merge/MLP; with the
     XLA attention path no tags exist and the policy degrades to full
     remat.
     """
@@ -176,7 +177,7 @@ def gnn_apply(params, states, desc0, desc1,
     # (fused-MHA path) or the pre-BN activation + batch stats (fused
     # train-layer path) — the replay recomputes only the cheap epilogue
     remat_policy = jax.checkpoint_policies.save_only_these_names(
-        "attn_out", "attn_thr", "layer_h1", "layer_bn_mean",
+        "attn_out", "attn_thr", "attn_lse", "layer_h1", "layer_bn_mean",
         "layer_bn_var")
     n_layers = len(params)
     if not scan_pairs or n_layers % 2 != 0:

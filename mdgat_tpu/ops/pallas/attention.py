@@ -38,6 +38,11 @@ _BISECT_ITERS_EXACT = 32
 # Float value-bisection steps for the fast path (see fbisect below).
 _BISECT_ITERS_FAST = 14
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
+# Backward blocking budget: live [N, M] f32 temporaries per head iteration
+# (s, p, dp, ds + slack) x block_b elements must fit. Swept on the real
+# chip by tools/probe_mha_bwd_bb.py.
+_BWD_BB_BUDGET = 13 * 1024 * 1024
+_BWD_LIVE = 5
 
 import numpy as np
 
@@ -62,7 +67,11 @@ def _key_to_float(key):
 
 def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     """Stacked scores [R, M] (masked entries already BIG_NEG) -> top-k /
-    dense masked softmax probabilities and the per-row threshold [R, 1].
+    dense masked softmax probabilities, the per-row threshold [R, 1] and
+    the per-row logsumexp [R, 1] (``mx + log(denom)`` — the second
+    custom-VJP residual: the backward rebuilds the probabilities as
+    ``where(keep, exp(s - lse), 0)`` without re-running the max/sum/div
+    sweeps over the score slab).
 
     The shared VPU core of both attention kernels; see the selection-
     variant notes on the module docstring."""
@@ -72,8 +81,9 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     if topk == 0 and not has_mask:
         mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
-        prob = e / jnp.sum(e, axis=1, keepdims=True)
-        return prob, jnp.full((s.shape[0], 1), neg, dt)
+        denom = jnp.sum(e, axis=1, keepdims=True)
+        return (e / denom, jnp.full((s.shape[0], 1), neg, dt),
+                mx + jnp.log(denom))
 
     if topk > 0 and exact:
         # EXACT k-th value by integer binary search on monotone keys.
@@ -160,7 +170,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     e = jnp.exp(s_m - mx) * keep.astype(dt)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-38, dt))
-    return e / denom, thr
+    return e / denom, thr, mx + jnp.log(denom)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
@@ -197,8 +207,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
         s = jnp.where(valid, s, neg)
     del kv_mask
 
-    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
-                              has_mask=has_mask)
+    prob, thr, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                 has_mask=has_mask)
     for b in range(block_b):
         for h in range(num_heads):
             v = v_ref[b, h].astype(dt)     # [M, D]
@@ -258,8 +268,8 @@ def _layer_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
-                            has_mask=has_mask)
+    prob, _, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
+                               has_mask=has_mask)
 
     w1x = w1x_ref[...].astype(dt)
     w1m = w1m_ref[...].astype(dt)
@@ -570,7 +580,7 @@ def fused_layer_apply(layer_params, layer_state, x, source,
 # ---------------------------------------------------------------------------
 
 def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                    wv_ref, bv_ref, wm_ref, bm_ref, o_ref, t_ref, *,
+                    wv_ref, bv_ref, wm_ref, bm_ref, o_ref, t_ref, l_ref, *,
                     topk: int, num_heads: int, block_b: int,
                     has_mask: bool, exact: bool):
     """``merge(MHA(x, src))`` in one kernel: per-head q/k/v projections,
@@ -578,7 +588,8 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     projection — no ``[B, H, N, D]`` relayouts of activations anywhere
     (profiled ~28 ms/step of pure layout copies at the reference train
     config with the split-heads XLA path). Also emits the per-row k-th
-    score (the custom-VJP residual). Reference: ``models/mdgat.py:213-237``.
+    score and logsumexp (the custom-VJP residuals).
+    Reference: ``models/mdgat.py:213-237``.
     """
     out_dt = x_ref.dtype
     dt = jnp.float32
@@ -612,8 +623,8 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
-                              has_mask=has_mask)
+    prob, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                   has_mask=has_mask)
     bm = bm_ref[...].astype(dt)
     for b in range(block_b):
         v_full = _dot(src_ref[b].astype(dt), wv) + bv_ref[...].astype(dt)
@@ -623,11 +634,12 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             os.append(_dot(prob[r0:r0 + n],
                            v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
             t_ref[b, h] = thr[r0:r0 + n]
+            l_ref[b, h] = lse[r0:r0 + n]
         o_full = jnp.concatenate(os, axis=1)                 # [N, D]
         o_ref[b] = (_dot(o_full, wm) + bm).astype(out_dt)
 
 
-def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
+def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, lse_ref, g_ref,
                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                     wm_ref, bm_ref,
                     dx_ref, dsrc_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
@@ -635,10 +647,11 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
                     num_heads: int, block_b: int, has_mask: bool):
     """VJP of :func:`_mha_fwd_kernel` with the selection frozen at the
     forward's per-row threshold (reference scatter-backward semantics) and
-    every [N, M] intermediate VMEM-resident. Weight gradients accumulate
-    in their output refs across the sequential batch grid."""
+    every [N, M] intermediate VMEM-resident. The probabilities rebuild
+    from the saved per-row logsumexp (no max/sum/div re-sweeps). Weight
+    gradients accumulate in their output refs across the sequential batch
+    grid."""
     dt = jnp.float32
-    neg = jnp.asarray(BIG_NEG, dt)
     n = x_ref.shape[1]
     m = src_ref.shape[1]
     dh = wq_ref.shape[1] // num_heads
@@ -664,10 +677,11 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
         g = g_ref[b].astype(dt)                              # [N, D]
         kv = (mask_ref[b] > 0.5) if has_mask else None
         thr_h = [thr_ref[b, h] for h in range(num_heads)]
+        lse_h = [lse_ref[b, h] for h in range(num_heads)]
         dbm_ref[...] += jnp.sum(g, axis=0, keepdims=True)
         (o_full, dx, dsrc, dwq_c, dbq_c, dwk_c, dbk_c, dwv_c, dbv_c,
          dwm_c) = _mha_bwd_block(
-            x, src, kv, thr_h, g, wq, wk, wv, wm,
+            x, src, kv, thr_h, lse_h, g, wq, wk, wv, wm,
             bq_ref[...].astype(dt), bk_ref[...].astype(dt),
             bv_ref[...].astype(dt), num_heads, dh, n, m, has_mask)
         dwm_ref[...] += dwm_c
@@ -681,11 +695,14 @@ def _mha_bwd_kernel(x_ref, src_ref, mask_ref, thr_ref, g_ref,
         dsrc_ref[b] = dsrc.astype(dsrc_ref.dtype)
 
 
-def _mha_bwd_block(x, src, kv, thr_h, g, wq, wk, wv, wm, bq, bk, bv,
+def _mha_bwd_block(x, src, kv, thr_h, lse_h, g, wq, wk, wv, wm, bq, bk, bv,
                    num_heads, dh, n, m, has_mask):
     """Per-element MHA backward with the selection frozen at ``thr_h``
-    (the forward's per-row, per-head k-th score). Shared between the
-    fused-MHA backward kernel and the whole-layer training backward.
+    (the forward's per-row, per-head k-th score) and the probabilities
+    rebuilt from the forward's per-row logsumexp ``lse_h`` — one
+    exp-of-select pass instead of the mask/max/exp/sum/divide re-sweep
+    over the [N, M] score slab. Shared between the fused-MHA backward
+    kernel and the whole-layer training backward.
 
     Returns ``(o_full, dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm)`` as
     VALUES; callers accumulate the weight contributions into their grid
@@ -710,11 +727,9 @@ def _mha_bwd_block(x, src, kv, thr_h, g, wq, wk, wv, wm, bq, bk, bv,
         keep = s >= thr_h[h]
         if has_mask:
             keep = keep & jnp.broadcast_to(kv, (n, m))
-        s_m = jnp.where(keep, s, neg)
-        mx = jnp.max(s_m, axis=1, keepdims=True)
-        e = jnp.exp(s_m - mx) * keep.astype(dt)
-        p = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                            jnp.asarray(1e-38, dt))
+        # exp(BIG_NEG) == 0 exactly; kept entries have s <= lse so the
+        # exponent never overflows (denom >= the max kept term)
+        p = jnp.exp(jnp.where(keep, s - lse_h[h], neg))
         do = do_full[:, sl]                                  # [N, Dh]
         os.append(_dot(p, v))                                # o_h [N, Dh]
         # attention backward (thresholds frozen)
@@ -763,8 +778,8 @@ def _mha_bwd_block(x, src, kv, thr_h, g, wq, wk, wv, wm, bq, bk, bv,
 
 def _mha_blocking(b, h, n, m, exact, topk, backward=False):
     if backward:
-        # ~5 live [n, m] f32 temporaries per (b, h) head iteration
-        budget, live, h = 13 * 1024 * 1024, 5, 1
+        # live [n, m] f32 temporaries per (b, h) head iteration
+        budget, live, h = _BWD_BB_BUDGET, _BWD_LIVE, 1
     elif exact and topk:
         budget, live = 13 * 1024 * 1024, 5
     else:
@@ -813,23 +828,25 @@ def _mha_fwd_call(attn_params, x, source, kv_mask, topk, num_heads, exact,
     kern = functools.partial(_mha_fwd_kernel, topk=int(topk or 0),
                              num_heads=num_heads, block_b=bb,
                              has_mask=kv_mask is not None, exact=exact)
-    out, thr = pl.pallas_call(
+    out, thr, lse = pl.pallas_call(
         kern,
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d))],
-        out_specs=[_blk((bb, n, d)), _blk((bb, num_heads, n, 1))],
+        out_specs=[_blk((bb, n, d)), _blk((bb, num_heads, n, 1)),
+                   _blk((bb, num_heads, n, 1))],
         out_shape=[jax.ShapeDtypeStruct((b, n, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32),
                    jax.ShapeDtypeStruct((b, num_heads, n, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
     )(x, source, maskf, *weights)
-    return out, thr
+    return out, thr, lse
 
 
-def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
+def _mha_bwd_call(attn_params, x, source, kv_mask, thr, lse, g, num_heads,
                   interpret):
     b, n, d = x.shape
     m = source.shape[1]
@@ -849,7 +866,8 @@ def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
         kern,
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
-                  _blk((bb, num_heads, n, 1)), _blk((bb, n, d)),
+                  _blk((bb, num_heads, n, 1)), _blk((bb, num_heads, n, 1)),
+                  _blk((bb, n, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d))],
         out_specs=[_blk((bb, n, d)), _blk((bb, m, d)),
@@ -868,7 +886,7 @@ def _mha_bwd_call(attn_params, x, source, kv_mask, thr, g, num_heads,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
-    )(x, source, maskf, thr, g, *weights)
+    )(x, source, maskf, thr, lse, g, *weights)
     dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm, dbm = outs
     pd = lambda ref: attn_params[ref]["w"].dtype
     dwq_r, dbq_r = _unblocked_proj_grad(dwq, dbq, num_heads, dh,
@@ -896,26 +914,27 @@ def fused_mha(topk, num_heads, exact, attn_params, x, source, kv_mask):
     (reference scatter-VJP semantics, ``models/mdgat.py:196-210``) and
     accumulates the weight gradients across the batch grid in-kernel.
     """
-    out, _ = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
-                           num_heads, exact,
-                           jax.default_backend() == "cpu")
+    out, _, _ = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
+                              num_heads, exact,
+                              jax.default_backend() == "cpu")
     return out
 
 
 def _fused_mha_fwd(topk, num_heads, exact, attn_params, x, source, kv_mask):
-    out, thr = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
-                             num_heads, exact,
-                             jax.default_backend() == "cpu")
+    out, thr, lse = _mha_fwd_call(attn_params, x, source, kv_mask, topk,
+                                  num_heads, exact,
+                                  jax.default_backend() == "cpu")
     from jax.ad_checkpoint import checkpoint_name
     out = checkpoint_name(out, "attn_out")
     thr = checkpoint_name(thr, "attn_thr")
-    return out, (attn_params, x, source, kv_mask, thr)
+    lse = checkpoint_name(lse, "attn_lse")
+    return out, (attn_params, x, source, kv_mask, thr, lse)
 
 
 def _fused_mha_bwd(topk, num_heads, exact, res, g):
-    attn_params, x, source, kv_mask, thr = res
+    attn_params, x, source, kv_mask, thr, lse = res
     dparams, dx, dsrc = _mha_bwd_call(
-        attn_params, x, source, kv_mask, thr, g, num_heads,
+        attn_params, x, source, kv_mask, thr, lse, g, num_heads,
         jax.default_backend() == "cpu")
     # boolean mask cotangent: explicit float0 zeros (the Sinkhorn VJP's
     # convention) rather than None, which relies on lenient custom_vjp
@@ -957,12 +976,14 @@ fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                     wm_ref, bm_ref, w1x_ref, w1m_ref, b1_ref,
-                    h1_ref, t_ref, ssum_ref, ssq_ref, *,
+                    h1_ref, t_ref, l_ref, ssum_ref, ssq_ref, *,
                     topk: int, num_heads: int, block_b: int,
                     has_mask: bool, has_vmask: bool, exact: bool):
     """Fused MHA (as ``_mha_fwd_kernel``) + message merge + the first MLP
     matmul ``h1 = x @ w1x + message @ w1m + b1`` + masked per-channel
-    sum/sumsq accumulation across the sequential batch grid."""
+    sum/sumsq accumulation across the sequential batch grid. Also emits
+    the per-row threshold and logsumexp (the attention-rebuild residuals
+    consumed by ``_tl_bwd2_kernel``)."""
     out_dt = h1_ref.dtype
     dt = jnp.float32
     neg = jnp.asarray(BIG_NEG, dt)
@@ -1002,8 +1023,8 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, thr = _stacked_prob(s, valid, topk=topk, exact=exact,
-                              has_mask=has_mask)
+    prob, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                   has_mask=has_mask)
     ssum_acc = jnp.zeros((1, w1x.shape[1]), dt)
     ssq_acc = jnp.zeros((1, w1x.shape[1]), dt)
     for b in range(block_b):
@@ -1014,6 +1035,7 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
             os.append(_dot(prob[r0:r0 + n],
                            v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
             t_ref[b, h] = thr[r0:r0 + n]
+            l_ref[b, h] = lse[r0:r0 + n]
         o_full = jnp.concatenate(os, axis=1)                 # [N, D]
         msg = _dot(o_full, wm) + bm                          # [N, D]
         h1 = _dot(x_ref[b].astype(dt), w1x) + _dot(msg, w1m) + b1
@@ -1097,8 +1119,8 @@ def _tl_bwd1_kernel(g_ref, h1_ref, w2_ref, vec_ref,
         sgh_ref[...] += jnp.sum(G * hhat, axis=0, keepdims=True)
 
 
-def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, g_ref,
-                    h1_ref,
+def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, lse_ref,
+                    g_ref, h1_ref,
                     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                     wm_ref, bm_ref, w1x_ref, w1m_ref, w2_ref, vec_ref,
                     dx_ref, dsrc_ref, dwq_ref, dbq_ref, dwk_ref, dbk_ref,
@@ -1150,6 +1172,7 @@ def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, g_ref,
         h1 = h1_ref[b].astype(dt)                            # [N, 2D]
         kv = (kvmask_ref[b] > 0.5) if has_mask else None
         thr_h = [thr_ref[b, h] for h in range(num_heads)]
+        lse_h = [lse_ref[b, h] for h in range(num_heads)]
 
         hhat = (h1 - mean) * inv
         bn = hhat * scale + bias
@@ -1178,7 +1201,7 @@ def _tl_bwd2_kernel(x_ref, src_ref, kvmask_ref, vmask_ref, thr_ref, g_ref,
 
         (o_full, dx_attn, dsrc, dwq_c, dbq_c, dwk_c, dbk_c, dwv_c, dbv_c,
          dwm_c) = _mha_bwd_block(
-            x, src, kv, thr_h, dmsg, wq, wk, wv, wm,
+            x, src, kv, thr_h, lse_h, dmsg, wq, wk, wv, wm,
             bq_ref[...].astype(dt), bk_ref[...].astype(dt),
             bv_ref[...].astype(dt), num_heads, dh, n, m, has_mask)
         msg = _dot(o_full, wm) + bm_ref[...].astype(dt)      # [N, D]
@@ -1243,7 +1266,7 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
         _tl_fwd1_kernel, topk=int(topk or 0), num_heads=num_heads,
         block_b=bb, has_mask=kv_mask is not None,
         has_vmask=vmask is not None, exact=exact)
-    h1, thr, ssum, ssq = pl.pallas_call(
+    h1, thr, lse, ssum, ssq = pl.pallas_call(
         kern1,
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
@@ -1252,8 +1275,10 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, 2 * d)), _rep((d, 2 * d)), _rep((1, 2 * d))],
         out_specs=[_blk((bb, n, 2 * d)), _blk((bb, num_heads, n, 1)),
+                   _blk((bb, num_heads, n, 1)),
                    _rep((1, 2 * d)), _rep((1, 2 * d))],
         out_shape=[jax.ShapeDtypeStruct((b, n, 2 * d), x.dtype),
+                   jax.ShapeDtypeStruct((b, num_heads, n, 1), f32),
                    jax.ShapeDtypeStruct((b, num_heads, n, 1), f32),
                    jax.ShapeDtypeStruct((1, 2 * d), f32),
                    jax.ShapeDtypeStruct((1, 2 * d), f32)],
@@ -1290,7 +1315,7 @@ def _tl_fwd_calls(lp, x, source, kv_mask, vmask, topk, num_heads, exact,
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
     )(x, h1, a, c, w2, b2)
-    return y, mean, var, cnt, thr, h1
+    return y, mean, var, cnt, thr, lse, h1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -1300,7 +1325,7 @@ def fused_train_layer(topk, num_heads, exact, interpret, axis_name,
     (batch-stat BatchNorm) as two Pallas kernels each way; returns
     ``(y, batch_mean, batch_var)`` — the mean/var feed the running-stat
     update outside (non-differentiable observation, as in torch)."""
-    y, mean, var, _, _, _ = _tl_fwd_calls(
+    y, mean, var, _, _, _, _ = _tl_fwd_calls(
         lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret,
         axis_name)
     return y, mean, var
@@ -1308,15 +1333,16 @@ def fused_train_layer(topk, num_heads, exact, interpret, axis_name,
 
 def _ftl_fwd(topk, num_heads, exact, interpret, axis_name, lp, x, source,
              kv_mask, vmask):
-    y, mean, var, cnt, thr, h1 = _tl_fwd_calls(
+    y, mean, var, cnt, thr, lse, h1 = _tl_fwd_calls(
         lp, x, source, kv_mask, vmask, topk, num_heads, exact, interpret,
         axis_name)
     from jax.ad_checkpoint import checkpoint_name
     thr = checkpoint_name(thr, "attn_thr")
+    lse = checkpoint_name(lse, "attn_lse")
     h1 = checkpoint_name(h1, "layer_h1")
     mean = checkpoint_name(mean, "layer_bn_mean")
     var = checkpoint_name(var, "layer_bn_var")
-    res = (lp, x, source, kv_mask, vmask, thr, h1, mean, var, cnt)
+    res = (lp, x, source, kv_mask, vmask, thr, lse, h1, mean, var, cnt)
     return (y, mean, var), res
 
 
@@ -1324,7 +1350,7 @@ def _ftl_bwd(topk, num_heads, exact, interpret, axis_name, res, cts):
     from mdgat_tpu.ops.mlp import BN_EPS
 
     g, _g_mean, _g_var = cts                  # mean/var: zero cotangents
-    lp, x, source, kv_mask, vmask, thr, h1, mean, var, cnt = res
+    lp, x, source, kv_mask, vmask, thr, lse, h1, mean, var, cnt = res
     b, n, d = x.shape
     m = source.shape[1]
     dh = d // num_heads
@@ -1372,6 +1398,7 @@ def _ftl_bwd(topk, num_heads, exact, interpret, axis_name, res, cts):
         grid=(b // bb,),
         in_specs=[_blk((bb, n, d)), _blk((bb, m, d)), _blk((bb, 1, m)),
                   _blk((bb, n, 1)), _blk((bb, num_heads, n, 1)),
+                  _blk((bb, num_heads, n, 1)),
                   _blk((bb, n, d)), _blk((bb, n, 2 * d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
                   _rep((d, d)), _rep((1, d)), _rep((d, d)), _rep((1, d)),
@@ -1397,7 +1424,7 @@ def _ftl_bwd(topk, num_heads, exact, interpret, axis_name, res, cts):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
-    )(x, source, kvm, vmf, thr, g, h1, *weights, w1x, w1m, w2, vec6)
+    )(x, source, kvm, vmf, thr, lse, g, h1, *weights, w1x, w1m, w2, vec6)
     (dx, dsrc, dwq, dbq, dwk, dbk, dwv, dbv, dwm, dbm,
      dw1x, dw1m, db1) = outs
 
