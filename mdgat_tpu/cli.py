@@ -121,6 +121,12 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                         "can be overridden by site config before main() "
                         "runs; this applies jax.config.update before any "
                         "backend is initialized")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="train-loop batch prefetch depth: a producer "
+                        "thread runs disk IO + batch assembly this many "
+                        "batches ahead (DataLoader(num_workers) "
+                        "equivalent, reference train.py:166-171); "
+                        "0 = serial")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", type=_parse_bool, default=False,
                    help="enable jax_debug_nans (NaN provenance; slow)")
@@ -175,6 +181,7 @@ def config_from_args(args, preset: str) -> Config:
         shard_map=(None if args.shard_map == "auto"
                    else args.shard_map == "true"),
         scan_gnn_pairs=args.scan_gnn_pairs,
+        prefetch=args.prefetch,
         seed=args.seed,
     )
     if cfg.net == "raw":

@@ -89,6 +89,10 @@ class Config:
                                       # jit has no pallas_call partitioning
                                       # rule — operands get all-gathered)
     donate_state: bool = True
+    prefetch: int = 2               # train-loop batch prefetch depth (a
+                                    # producer thread runs the host batch
+                                    # assembly; the DataLoader(num_workers)
+                                    # equivalent). 0 = serial
     remat_gnn: bool = True          # checkpoint GNN layers in training
     scan_gnn_pairs: bool = True     # lax.scan over equal-signature layer
                                     # pairs (fast compiles); False unrolls

@@ -3,6 +3,7 @@ from mdgat_tpu.data.kitti import (
     read_keypoint_bin, KEYPOINT_ROW_FLOATS,
 )
 from mdgat_tpu.data.pipeline import SparseDataset, prepare_batch_fn, model_inputs
+from mdgat_tpu.data.prefetch import BatchPrefetcher, prefetch_batches
 from mdgat_tpu.data.synthetic import (
     make_synthetic_pair, write_synthetic_kitti, SyntheticDataset,
 )

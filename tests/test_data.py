@@ -227,3 +227,99 @@ def test_empty_frame_parity_native_vs_python(tmp_path):
                     saw_empty = True
                     assert not bn[f"keypoints{side}"][b].any()
     assert saw_empty  # the planted frame actually exercised the edge
+
+
+# ---------------------------------------------------------------------------
+# train-loop batch prefetcher (data/prefetch.py)
+
+def _batches_equal(a, b):
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert sorted(x) == sorted(y)
+        for k in x:
+            if isinstance(x[k], list):
+                assert x[k] == y[k]
+            else:
+                np.testing.assert_array_equal(x[k], y[k])
+
+
+def test_prefetcher_order_parity(kitti_root):
+    from mdgat_tpu.data import BatchPrefetcher
+
+    root, kp_dir = kitti_root
+    ds = SparseDataset(_cfg(root, kp_dir), "train")
+    direct = list(ds.batches(4, shuffle=True, seed=7))
+    pre = list(BatchPrefetcher(
+        lambda: ds.batches(4, shuffle=True, seed=7), depth=2))
+    _batches_equal(direct, pre)
+
+
+def test_prefetcher_reiterable(kitti_root):
+    from mdgat_tpu.data import BatchPrefetcher
+
+    root, kp_dir = kitti_root
+    ds = SparseDataset(_cfg(root, kp_dir), "train")
+    pf = BatchPrefetcher(lambda: ds.batches(4, shuffle=True, seed=3),
+                         depth=1)
+    _batches_equal(list(pf), list(pf))
+
+
+def test_prefetcher_propagates_producer_exception():
+    from mdgat_tpu.data import BatchPrefetcher
+
+    def boom():
+        yield {"i": np.array(0)}
+        yield {"i": np.array(1)}
+        raise IOError("disk died at pair 2")
+
+    seen = []
+    with pytest.raises(IOError, match="disk died"):
+        for item in BatchPrefetcher(boom, depth=2):
+            seen.append(int(item["i"]))
+    assert seen == [0, 1]  # everything before the failure was delivered
+
+
+def test_prefetcher_abandoned_iterator_stops_producer():
+    import threading
+    import time
+
+    from mdgat_tpu.data import BatchPrefetcher
+
+    produced = []
+
+    def slow():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    start = threading.active_count()
+    it = iter(BatchPrefetcher(slow, depth=1))
+    assert next(it) == 0
+    it.close()  # abandon mid-stream: generator finally sets the stop flag
+    deadline = time.time() + 5.0
+    while threading.active_count() > start and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= start
+    assert len(produced) < 100  # producer stopped early, didn't drain
+
+
+def test_prefetch_batches_depth_zero_is_serial():
+    from mdgat_tpu.data import prefetch_batches
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        return iter([1, 2, 3])
+
+    it = prefetch_batches(make, depth=0)
+    assert list(it) == [1, 2, 3]
+    assert list(it) == [1, 2, 3]  # re-iterable like the threaded wrapper
+    assert len(calls) == 2
+
+
+def test_prefetcher_rejects_bad_depth():
+    from mdgat_tpu.data import BatchPrefetcher
+
+    with pytest.raises(ValueError):
+        BatchPrefetcher(lambda: iter([]), depth=0)

@@ -52,7 +52,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from mdgat_tpu.core.checkpoint import save_checkpoint
-    from mdgat_tpu.data import SparseDataset, model_inputs, prepare_batch_fn
+    from mdgat_tpu.data import (SparseDataset, model_inputs,
+                                prefetch_batches, prepare_batch_fn)
     from mdgat_tpu.models import build_model
     from mdgat_tpu.parallel import make_mesh, replicate, shard_batch
     from mdgat_tpu.train import (TrainState, create_train_state,
@@ -132,8 +133,13 @@ def main():
     for epoch in range(start_epoch, cfg.epoch + 1):
         t_epoch = time.time()
         step_losses, n_steps = [], 0
-        for batch in train_set.batches(cfg.batch_size, shuffle=True,
-                                       seed=cfg.seed + epoch):
+        # producer-thread batch prefetch (host IO/assembly overlaps the
+        # async device steps — the reference's DataLoader(num_workers=1),
+        # train.py:166-171); exceptions propagate to this loop
+        for batch in prefetch_batches(
+                lambda: train_set.batches(cfg.batch_size, shuffle=True,
+                                          seed=cfg.seed + epoch),
+                cfg.prefetch):
             with timer("prepare"):
                 prepared = prepare(batch)
                 sharded = shard_batch(model_inputs(prepared), mesh,
@@ -151,7 +157,9 @@ def main():
 
         # validation (reference: every epoch on seq 9, train.py:263-285)
         val_losses = []
-        for batch in val_set.batches(cfg.batch_size, shuffle=False):
+        for batch in prefetch_batches(
+                lambda: val_set.batches(cfg.batch_size, shuffle=False),
+                cfg.prefetch):
             prepared = prepare(batch)
             sharded = shard_batch(model_inputs(prepared), mesh,
                                   shard_seq=cfg.seq_parallel > 1)
