@@ -44,8 +44,6 @@ _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 _BWD_BB_BUDGET = 13 * 1024 * 1024
 _BWD_LIVE = 5
 
-import numpy as np
-
 _SIGN_FIX = np.int32(0x7FFFFFFF)  # numpy scalar: inlined as a literal
 
 
