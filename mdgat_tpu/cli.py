@@ -127,6 +127,14 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
                         "batches ahead (DataLoader(num_workers) "
                         "equivalent, reference train.py:166-171); "
                         "0 = serial")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="multi-host: jax.distributed coordinator "
+                        "('host:port'); with --num_processes/--process_id "
+                        "joins a multi-process runtime (one process per "
+                        "TPU host). Empty = single-process unless "
+                        "JAX_COORDINATOR_ADDRESS is set in the env")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug_nans", type=_parse_bool, default=False,
                    help="enable jax_debug_nans (NaN provenance; slow)")
@@ -182,6 +190,9 @@ def config_from_args(args, preset: str) -> Config:
                    else args.shard_map == "true"),
         scan_gnn_pairs=args.scan_gnn_pairs,
         prefetch=args.prefetch,
+        coordinator_address=args.coordinator_address,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
         seed=args.seed,
     )
     if cfg.net == "raw":
@@ -196,6 +207,13 @@ def setup_jax(cfg: Config, args=None):
         # force-sets jax_platforms, so the env var alone cannot select CPU)
         from mdgat_tpu.core.platform import force_platform
         force_platform(args.platform)
+    from mdgat_tpu.parallel.multihost import initialize_distributed
+    if initialize_distributed(cfg.coordinator_address, cfg.num_processes,
+                              cfg.process_id):
+        # one process per TPU host; must precede the first device use
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",

@@ -88,6 +88,12 @@ class Config:
                                       # Pallas kernels are enabled (plain
                                       # jit has no pallas_call partitioning
                                       # rule — operands get all-gathered)
+    coordinator_address: str = ""   # multi-host: jax.distributed coordinator
+                                    # ("host:port"; empty = single-process
+                                    # unless JAX_COORDINATOR_ADDRESS is set)
+    num_processes: int = 0          # multi-host: process count (with
+                                    # coordinator_address)
+    process_id: int = -1            # multi-host: this process's id
     donate_state: bool = True
     prefetch: int = 2               # train-loop batch prefetch depth (a
                                     # producer thread runs the host batch

@@ -222,12 +222,15 @@ class SparseDataset:
                                 // (kitti.KEYPOINT_ROW_FLOATS * 4))
         return _round_up(max(max(rows), 1), 128)
 
-    def _native_batch(self, idxs) -> Optional[List[Dict]]:
+    def _native_batch(self, idxs,
+                      bucket: Optional[int] = None) -> Optional[List[Dict]]:
         """Threaded native load+shape of a whole batch (X2 equivalent).
 
         Used on the disk path (``memory_is_enough=False``); returns None
         when the native library is unavailable (callers fall back to the
-        per-pair Python path)."""
+        per-pair Python path). ``bucket`` overrides the variable-N pad
+        target (multi-host: the global batch's bucket, which may exceed
+        this process's own rows)."""
         try:
             from mdgat_tpu.native import NativeLoader, native_available
         except Exception:
@@ -243,7 +246,7 @@ class SparseDataset:
             meta.append((s, r["anc_idx"], r["pos_idx"]))
         if self.cfg.ensure_kpts_num:
             bucket = self.cfg.max_keypoints
-        else:
+        elif bucket is None:
             rows = [os.path.getsize(p) // (kitti.KEYPOINT_ROW_FLOATS * 4)
                     for p in paths]
             bucket = _round_up(max(max(rows), 1), 128)
@@ -264,23 +267,32 @@ class SparseDataset:
 
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_last: bool = True,
-                use_native: bool = True) -> Iterator[Dict]:
-        """Stacked numpy batches (the DataLoader equivalent, X2)."""
+                use_native: bool = True,
+                rows: Optional[slice] = None) -> Iterator[Dict]:
+        """Stacked numpy batches (the DataLoader equivalent, X2).
+
+        ``rows``: per-process slice of every global batch (multi-host —
+        ``parallel/multihost.py``): the shuffle order and the variable-N
+        bucket stay GLOBAL (identical across processes, same seed), but
+        only the sliced rows are loaded/stacked on this host.
+        """
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         n_b = len(order) // batch_size if drop_last else \
             -(-len(order) // batch_size)
         for b in range(n_b):
-            idxs = order[b * batch_size:(b + 1) * batch_size]
+            g_idxs = order[b * batch_size:(b + 1) * batch_size]
+            # variable-N: size the shared bucket from row counts BEFORE
+            # loading (each pair loaded exactly once) — and from the FULL
+            # global batch, so every process pads to the same shape
+            tgt = (None if self.cfg.ensure_kpts_num
+                   else self._batch_bucket(g_idxs))
+            idxs = g_idxs if rows is None else g_idxs[rows]
             pairs = None
             if use_native and not self.cfg.memory_is_enough:
-                pairs = self._native_batch(idxs)
+                pairs = self._native_batch(idxs, bucket=tgt)
             if pairs is None:
-                # variable-N: size the shared bucket from row counts
-                # BEFORE loading so every pair is loaded exactly once
-                tgt = (None if self.cfg.ensure_kpts_num
-                       else self._batch_bucket(idxs))
                 pairs = [self.get_pair(int(i), pad_to=tgt) for i in idxs]
             out = {}
             for k in pairs[0]:

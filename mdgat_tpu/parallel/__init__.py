@@ -4,3 +4,6 @@ from mdgat_tpu.parallel.mesh import (
 from mdgat_tpu.parallel.smap import (
     make_shard_map_train_step, make_shard_map_eval_step, make_eval_runtime,
 )
+from mdgat_tpu.parallel.multihost import (
+    initialize_distributed, is_primary, process_batch_rows, globalize_batch,
+)

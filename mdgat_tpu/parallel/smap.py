@@ -194,6 +194,12 @@ def make_eval_runtime(model, cfg, params, bn_state, batch_size: int):
     from mdgat_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from mdgat_tpu.train.loop import make_eval_step
 
+    if jax.process_count() > 1:
+        # multi-host is a train-loop capability (parallel/multihost.py);
+        # the eval CLIs' per-pair metric readbacks assume every device is
+        # addressable — run them single-process
+        raise SystemExit("multi-host eval is not supported: run test.py /"
+                         " test_registration_metric.py single-process")
     mesh = make_mesh(data=cfg.data_parallel or None, seq=cfg.seq_parallel)
     n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
     if not cfg.resolve_shard_map(n_data):

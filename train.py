@@ -56,17 +56,23 @@ def main():
                                 prefetch_batches, prepare_batch_fn)
     from mdgat_tpu.models import build_model
     from mdgat_tpu.parallel import make_mesh, replicate, shard_batch
+    from mdgat_tpu.parallel.multihost import (globalize_batch, is_primary,
+                                              process_batch_rows)
     from mdgat_tpu.train import (TrainState, create_train_state,
                                  make_eval_step, make_train_step)
     from mdgat_tpu.utils import PhaseTimer, ScalarLogger
 
     cfg = maybe_generate_synthetic(cfg, args)
 
+    # multi-host: host-side side effects (tensorboard events, checkpoint
+    # writes) belong to process 0 only; every process still computes the
+    # same replicated state/metrics
+    primary = is_primary()
     log_path = cfg.run_dir("./logs")
     model_out_path = cfg.run_dir(cfg.model_out_path)
     os.makedirs(log_path, exist_ok=True)
     os.makedirs(model_out_path, exist_ok=True)
-    logger = ScalarLogger(log_path)
+    logger = ScalarLogger(log_path) if primary else None
     print(f"Train {cfg.net} | k={cfg.k} | descriptor={cfg.descriptor} | "
           f"loss={cfg.loss_method} | dataset={cfg.dataset}\n"
           f"model_out_path: {model_out_path}\nlog_path: {log_path}")
@@ -95,6 +101,21 @@ def main():
     mesh = make_mesh(data=cfg.data_parallel or None,
                      seq=cfg.seq_parallel)
     n_data = mesh.shape["data"]
+    # multi-host (parallel/multihost.py): every process builds the same
+    # global mesh and dispatches the same programs; each host loads only
+    # its own contiguous block of batch rows and the global batch array
+    # is assembled from the per-process shards
+    multihost = jax.process_count() > 1
+    batch_rows = (process_batch_rows(mesh, cfg.batch_size,
+                                     shard_seq=cfg.seq_parallel > 1)
+                  if multihost else None)
+
+    def to_device(d):
+        if multihost:
+            return globalize_batch(d, mesh, cfg.batch_size,
+                                   shard_seq=cfg.seq_parallel > 1)
+        return shard_batch(d, mesh, shard_seq=cfg.seq_parallel > 1)
+
     state = replicate(state, mesh)
     use_smap = cfg.resolve_shard_map(n_data)
     if use_smap and cfg.batch_size % n_data != 0:
@@ -138,12 +159,12 @@ def main():
         # train.py:166-171); exceptions propagate to this loop
         for batch in prefetch_batches(
                 lambda: train_set.batches(cfg.batch_size, shuffle=True,
-                                          seed=cfg.seed + epoch),
+                                          seed=cfg.seed + epoch,
+                                          rows=batch_rows),
                 cfg.prefetch):
             with timer("prepare"):
                 prepared = prepare(batch)
-                sharded = shard_batch(model_inputs(prepared), mesh,
-                                      shard_seq=cfg.seq_parallel > 1)
+                sharded = to_device(model_inputs(prepared))
             with timer("train_step"):
                 # async dispatch: losses stay on device until epoch end so
                 # the host never blocks on a per-step readback
@@ -158,11 +179,11 @@ def main():
         # validation (reference: every epoch on seq 9, train.py:263-285)
         val_losses = []
         for batch in prefetch_batches(
-                lambda: val_set.batches(cfg.batch_size, shuffle=False),
+                lambda: val_set.batches(cfg.batch_size, shuffle=False,
+                                        rows=batch_rows),
                 cfg.prefetch):
             prepared = prepare(batch)
-            sharded = shard_batch(model_inputs(prepared), mesh,
-                                  shard_seq=cfg.seq_parallel > 1)
+            sharded = to_device(model_inputs(prepared))
             out = eval_step(state.params, state.bn_state, sharded)
             val_losses.append(jnp.mean(out["loss"]))
             if args.steps_per_epoch and len(val_losses) >= max(
@@ -175,26 +196,28 @@ def main():
               f"{epoch_loss:.4f} | val_loss {mean_val_loss:.4f} | "
               f"best {best_loss:.4f}")
 
-        params_host = jax.device_get(state.params)
-        bn_host = jax.device_get(state.bn_state)
-        opt_host = jax.device_get(state.opt_state)
         if mean_val_loss <= best_loss + 1e-5:
             best_loss = mean_val_loss
             out_file = (f"{model_out_path}/best_model_epoch_{epoch}"
                         f"(val_loss{best_loss}).npz")
         else:
             out_file = f"{model_out_path}/model_epoch_{epoch}.npz"
-        # all five reference checkpoint fields incl. the optimizer state
-        # and current lr (train.py:288-294)
-        save_checkpoint(out_file, params_host, bn_host, opt_state=opt_host,
-                        epoch=epoch, lr=lr, loss=mean_val_loss)
-        print(f"Checkpoint saved to {out_file}")
-
-        logger.add_scalar("Train/val_loss", mean_val_loss, epoch)
-        logger.add_scalar("Train/epoch_loss", epoch_loss, epoch)
+        if primary:
+            params_host = jax.device_get(state.params)
+            bn_host = jax.device_get(state.bn_state)
+            opt_host = jax.device_get(state.opt_state)
+            # all five reference checkpoint fields incl. the optimizer
+            # state and current lr (train.py:288-294)
+            save_checkpoint(out_file, params_host, bn_host,
+                            opt_state=opt_host, epoch=epoch, lr=lr,
+                            loss=mean_val_loss)
+            print(f"Checkpoint saved to {out_file}")
+            logger.add_scalar("Train/val_loss", mean_val_loss, epoch)
+            logger.add_scalar("Train/epoch_loss", epoch_loss, epoch)
 
     print(timer.report())
-    logger.close()
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":
