@@ -64,12 +64,20 @@ def _key_to_float(key):
 
 
 def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
-    """Stacked scores [R, M] (masked entries already BIG_NEG) -> top-k /
-    dense masked softmax probabilities, the per-row threshold [R, 1] and
-    the per-row logsumexp [R, 1] (``mx + log(denom)`` — the second
-    custom-VJP residual: the backward rebuilds the probabilities as
-    ``where(keep, exp(s - lse), 0)`` without re-running the max/sum/div
-    sweeps over the score slab).
+    """Stacked scores [R, M] (masked entries already BIG_NEG) -> the
+    UNNORMALIZED top-k / dense masked softmax weights ``e`` [R, M] plus
+    the per-row inverse denominator ``inv`` [R, 1] (probabilities are
+    ``e * inv``), the per-row threshold [R, 1], and the per-row logsumexp
+    [R, 1] (``mx + log(denom)`` — the second custom-VJP residual: the
+    backward rebuilds the probabilities as ``where(keep, exp(s - lse),
+    0)`` without re-running the max/sum/div sweeps over the score slab).
+
+    Deliberately NOT normalized here: ``e / denom`` is a full [R, M] VPU
+    pass, while callers matmul the weights against V anyway — scaling the
+    [N, Dh] matmul result by ``inv`` instead moves the normalization to
+    an M/Dh-times-smaller tensor (identical math up to one f32 rounding
+    reassociation). ``e <= 1`` per entry, so ``e @ v`` is bounded by
+    ``M * max|v|`` — no overflow risk.
 
     The shared VPU core of both attention kernels; see the selection-
     variant notes on the module docstring."""
@@ -80,7 +88,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
         denom = jnp.sum(e, axis=1, keepdims=True)
-        return (e / denom, jnp.full((s.shape[0], 1), neg, dt),
+        return (e, 1.0 / denom, jnp.full((s.shape[0], 1), neg, dt),
                 mx + jnp.log(denom))
 
     if topk > 0 and exact:
@@ -168,7 +176,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     e = jnp.exp(s_m - mx) * keep.astype(dt)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-38, dt))
-    return e / denom, thr, mx + jnp.log(denom)
+    return e, 1.0 / denom, thr, mx + jnp.log(denom)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
@@ -205,15 +213,16 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
         s = jnp.where(valid, s, neg)
     del kv_mask
 
-    prob, thr, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                 has_mask=has_mask)
+    e, inv, thr, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                   has_mask=has_mask)
     for b in range(block_b):
         for h in range(num_heads):
             v = v_ref[b, h].astype(dt)     # [M, D]
             r0 = (b * num_heads + h) * n
-            o_ref[b, h] = jax.lax.dot_general(
-                prob[r0:r0 + n], v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(out_dt)
+            o_ref[b, h] = (jax.lax.dot_general(
+                e[r0:r0 + n], v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+                * inv[r0:r0 + n]).astype(out_dt)
             t_ref[b, h] = thr[r0:r0 + n]   # [N, 1] per-row k-th value
 
 
@@ -266,8 +275,8 @@ def _layer_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, _, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
-                               has_mask=has_mask)
+    e, inv, _, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                 has_mask=has_mask)
 
     w1x = w1x_ref[...].astype(dt)
     w1m = w1m_ref[...].astype(dt)
@@ -280,7 +289,7 @@ def _layer_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         for h in range(num_heads):
             v = _dot(srcs[b], wv_ref[h].astype(dt)) + bv_ref[h].astype(dt)
             r0 = (b * num_heads + h) * n
-            o_h = _dot(prob[r0:r0 + n], v)             # [N, Dh]
+            o_h = _dot(e[r0:r0 + n], v) * inv[r0:r0 + n]   # [N, Dh]
             merged = merged + _dot(o_h, wm_ref[h].astype(dt))
         u = _dot(xs[b], w1x) + _dot(merged, w1m) + b1
         u = jnp.maximum(u, 0.0)
@@ -621,16 +630,17 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                   has_mask=has_mask)
+    e, inv, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                     has_mask=has_mask)
     bm = bm_ref[...].astype(dt)
     for b in range(block_b):
         v_full = _dot(src_ref[b].astype(dt), wv) + bv_ref[...].astype(dt)
         os = []
         for h in range(num_heads):
             r0 = (b * num_heads + h) * n
-            os.append(_dot(prob[r0:r0 + n],
-                           v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
+            os.append(_dot(e[r0:r0 + n],
+                           v_full[:, h * dh:(h + 1) * dh])
+                      * inv[r0:r0 + n])                      # [N, Dh]
             t_ref[b, h] = thr[r0:r0 + n]
             l_ref[b, h] = lse[r0:r0 + n]
         o_full = jnp.concatenate(os, axis=1)                 # [N, D]
@@ -1021,8 +1031,8 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
         valid = jnp.concatenate(masks, axis=0)
         s = jnp.where(valid, s, neg)
 
-    prob, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                   has_mask=has_mask)
+    e, inv, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
+                                     has_mask=has_mask)
     ssum_acc = jnp.zeros((1, w1x.shape[1]), dt)
     ssq_acc = jnp.zeros((1, w1x.shape[1]), dt)
     for b in range(block_b):
@@ -1030,8 +1040,9 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
         os = []
         for h in range(num_heads):
             r0 = (b * num_heads + h) * n
-            os.append(_dot(prob[r0:r0 + n],
-                           v_full[:, h * dh:(h + 1) * dh]))  # [N, Dh]
+            os.append(_dot(e[r0:r0 + n],
+                           v_full[:, h * dh:(h + 1) * dh])
+                      * inv[r0:r0 + n])                      # [N, Dh]
             t_ref[b, h] = thr[r0:r0 + n]
             l_ref[b, h] = lse[r0:r0 + n]
         o_full = jnp.concatenate(os, axis=1)                 # [N, D]
