@@ -139,11 +139,25 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         # copy is dead across the search loop
         s = _key_to_float(ikey)
     elif topk > 0:
-        # FAST path: float value-bisection. lo converges to the k-th value
-        # from below, so the kept set always contains the true top-k;
-        # after 14 halvings the interval is range/16384 and spurious extra
+        # FAST path: k-ary float value-bisection. lo only ever moves to a
+        # candidate with cnt(>= cand) >= k, so it converges to the k-th
+        # value from below and the kept set always contains the true
+        # top-k; once the interval is range/2^14 the spurious extra
         # members are near-ties whose softmax weights match the k-th
         # entry's (agreement quantified in DESIGN.md / test_pallas).
+        #
+        # k-ary: each iteration counts SEVERAL midpoints in ONE traversal
+        # of the score slab — the counts are <= M, so up to three 10-bit
+        # counts pack exactly into one int32 per element and a single
+        # fused compare+pack+reduce pass yields all of them (the sweeps
+        # are VMEM-bandwidth-bound, so one traversal with 3 compares
+        # costs ~one with 1). Quaternary (3 midpoints, M <= 512) needs 7
+        # passes for the binary path's 14-pass resolution; ternary
+        # (M <= 2047, 11-bit fields) needs 9; wider M falls back to
+        # binary.
+        # NB: routing the count through the MXU as a ones-matvec was
+        # measured SLOWER (9.66 vs 8.05 ms/step eval) — Mosaic already
+        # fuses the compare+reduce into one VPU pass.
         big = jnp.asarray(-BIG_NEG, dt)
         if has_mask:
             lo = jnp.min(jnp.where(valid, s, big), axis=1, keepdims=True)
@@ -151,19 +165,35 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
             lo = jnp.min(s, axis=1, keepdims=True)
         hi = jnp.max(s, axis=1, keepdims=True)
 
-        def fbisect(_, carry):
-            # NB: routing this count through the MXU as a ones-matvec was
-            # measured SLOWER (9.66 vs 8.05 ms/step eval) — Mosaic already
-            # fuses the compare+reduce into one VPU pass
-            lo, hi = carry
-            mid = (lo + hi) * 0.5
-            cnt = jnp.sum((s >= mid).astype(dt), axis=1, keepdims=True)
-            take = cnt >= topk
-            lo = jnp.where(take, mid, lo)
-            hi = jnp.where(take, hi, mid)
-            return lo, hi
+        m_sz = s.shape[1]
+        bits = max(int(np.ceil(np.log2(m_sz + 1))), 1)
+        n_mid = min(3, 31 // bits) if bits <= 15 else 1
+        base = 1 << bits
+        # iterations for >= the binary path's range/2^ITERS resolution
+        iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))
 
-        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS_FAST, fbisect, (lo, hi),
+        def fbisect(_, carry):
+            lo, hi = carry
+            span = hi - lo
+            mids = [lo + ((j + 1) / (n_mid + 1)) * span
+                    for j in range(n_mid)]
+            packed = (s >= mids[0]).astype(jnp.int32)
+            for j in range(1, n_mid):
+                packed = packed + ((s >= mids[j]).astype(jnp.int32)
+                                   * (base ** j))
+            cnt = jnp.sum(packed, axis=1, keepdims=True)
+            # ascending override: the LARGEST midpoint with count >= k
+            # becomes lo (counts are monotone nonincreasing in j)
+            new_lo, new_hi = lo, mids[0]
+            for j in range(n_mid):
+                tj = (cnt // (base ** j)) % base >= topk
+                new_lo = jnp.where(tj, mids[j], new_lo)
+                new_hi = jnp.where(tj,
+                                   hi if j == n_mid - 1 else mids[j + 1],
+                                   new_hi)
+            return new_lo, new_hi
+
+        lo, hi = jax.lax.fori_loop(0, iters, fbisect, (lo, hi),
                                    unroll=True)
         keep = s >= lo
         thr = lo
