@@ -240,15 +240,34 @@ def maybe_generate_synthetic(cfg: Config, args) -> Config:
             "README) or pass --synthetic true for a generated dataset.")
     from mdgat_tpu.data.synthetic import write_synthetic_kitti
     root = cfg.train_path
-    print(f"[synthetic] generating KITTI-format dataset under {root}")
     n_points = max(300, cfg.max_keypoints)
-    kp_dir = write_synthetic_kitti(
-        root, seqs=(0, 2, 3, 4, 5, 6, 7, 9, 10), frames_per_seq=12,
-        pairs_per_seq=24, n_points=n_points,
-        seed=cfg.seed,
-        # learned-descriptor modes read raw clouds (D10)
-        cloud_points=(4 * n_points
-                      if cfg.descriptor in ("pointnet", "pointnetmsg")
-                      else 0))
+
+    def _write():
+        print(f"[synthetic] generating KITTI-format dataset under {root}")
+        return write_synthetic_kitti(
+            root, seqs=(0, 2, 3, 4, 5, 6, 7, 9, 10), frames_per_seq=12,
+            pairs_per_seq=24, n_points=n_points,
+            seed=cfg.seed,
+            # learned-descriptor modes read raw clouds (D10)
+            cloud_points=(4 * n_points
+                          if cfg.descriptor in ("pointnet", "pointnetmsg")
+                          else 0))
+
+    import jax
+    if jax.process_count() > 1:
+        # multi-host: process 0 writes first (a shared filesystem must not
+        # see concurrent writers), everyone barriers, and a process whose
+        # HOST-LOCAL path is still missing afterwards writes its own copy
+        # (deterministic: same seed -> identical bytes)
+        from jax.experimental import multihost_utils
+        out_dir = os.path.join(root, "keypoints", "synthetic")
+        if jax.process_index() == 0:
+            kp_dir = _write()
+        multihost_utils.sync_global_devices("synthetic-dataset")
+        # shared filesystem: process 0's finished write is visible now;
+        # host-local filesystem: write this host's own copy
+        kp_dir = out_dir if os.path.isdir(out_dir) else _write()
+    else:
+        kp_dir = _write()
     return cfg.replace(keypoints_path=kp_dir,
                        txt_path=os.path.join(root, "preprocess-random-full"))

@@ -274,8 +274,14 @@ class SparseDataset:
         ``rows``: per-process slice of every global batch (multi-host —
         ``parallel/multihost.py``): the shuffle order and the variable-N
         bucket stay GLOBAL (identical across processes, same seed), but
-        only the sliced rows are loaded/stacked on this host.
+        only the sliced rows are loaded/stacked on this host. Requires
+        ``drop_last`` (a short final batch would break the equal
+        per-process shares the global-array assembly needs).
         """
+        if rows is not None and not drop_last:
+            raise ValueError("batches(rows=...) requires drop_last=True: "
+                             "per-process slices assume equal full-size "
+                             "global batches")
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)

@@ -147,14 +147,16 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         # entry's (agreement quantified in DESIGN.md / test_pallas).
         #
         # k-ary: each iteration counts SEVERAL midpoints in ONE traversal
-        # of the score slab — the counts are <= M, so up to three 10-bit
-        # counts pack exactly into one int32 per element and a single
-        # fused compare+pack+reduce pass yields all of them (the sweeps
-        # are VMEM-bandwidth-bound, so one traversal with 3 compares
-        # costs ~one with 1). Quaternary (3 midpoints, M <= 512) needs 7
-        # passes for the binary path's 14-pass resolution; ternary
-        # (M <= 2047, 11-bit fields) needs 9; wider M falls back to
-        # binary.
+        # of the score slab — the counts are <= M, so up to three
+        # ceil(log2(M+1))-bit counts pack exactly into one int32 per row
+        # and a single fused compare+pack+reduce pass yields all of them
+        # (the sweeps are VMEM-bandwidth-bound, so one traversal with 3
+        # compares costs ~one with 1). Quaternary (3 midpoints) holds
+        # through M <= 1023 (3 x 10-bit fields; worst-case sum
+        # 1023*(1 + 2^10 + 2^20) = 2^30 - 1, exactly inside int32) and
+        # needs 7 passes for the binary path's 14-pass resolution;
+        # ternary (M <= 32767, 11-15-bit fields) needs 9; wider M falls
+        # back to binary.
         # NB: routing the count through the MXU as a ones-matvec was
         # measured SLOWER (9.66 vs 8.05 ms/step eval) — Mosaic already
         # fuses the compare+reduce into one VPU pass.

@@ -48,6 +48,11 @@ def initialize_distributed(coordinator_address: str = "",
     """
     import os
     if coordinator_address:
+        if num_processes < 1 or process_id < 0:
+            raise SystemExit(
+                "--coordinator_address requires --num_processes >= 1 and "
+                f"--process_id >= 0 (got num_processes={num_processes}, "
+                f"process_id={process_id})")
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)

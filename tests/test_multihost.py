@@ -79,6 +79,20 @@ def test_batches_rows_slice(tmp_path):
                                                   np.asarray(f[k])[1:3])
 
 
+def test_batches_rows_requires_drop_last(tmp_path):
+    """A short final batch cannot satisfy equal per-process shares."""
+    root = str(tmp_path)
+    kp_dir = write_synthetic_kitti(root, seqs=(0, 2, 3, 4, 5, 6, 7),
+                                   frames_per_seq=4, pairs_per_seq=2,
+                                   n_points=80, seed=4)
+    cfg = train_defaults(train_path=root, keypoints_path=kp_dir,
+                         txt_path=f"{root}/preprocess-random-full",
+                         max_keypoints=64)
+    ds = SparseDataset(cfg, "train")
+    with pytest.raises(ValueError, match="drop_last"):
+        next(ds.batches(4, drop_last=False, rows=slice(0, 2)))
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
