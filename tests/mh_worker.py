@@ -6,7 +6,9 @@ the single-process reference, assembles its own contiguous block of
 batch rows via ``globalize_batch``, runs shard_map train steps, and
 prints the (replicated) final loss/grad-norm for the parent to compare.
 
-Run: ``python mh_worker.py <process_id> <num_processes> <port> <steps>``.
+Run: ``python mh_worker.py <process_id> <num_processes> <port> <steps>
+[seq]`` — ``seq`` > 1 also shards the keypoint axis (context parallelism
+composed with multi-host).
 """
 
 import os
@@ -28,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 def main():
     pid, nproc, port, steps = (int(a) for a in sys.argv[1:5])
+    seq = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     from mdgat_tpu.parallel import (initialize_distributed,
                                     make_mesh, replicate)
     from mdgat_tpu.parallel.multihost import (globalize_batch,
@@ -47,12 +50,12 @@ def main():
     cfg = tiny_cfg()
     model = MDGAT(cfg)
     state, tx = create_train_state(model, jax.random.PRNGKey(1), 1e-4)
-    mesh = make_mesh(data=4 * nproc, seq=1)
+    mesh = make_mesh(data=4 * nproc // seq, seq=seq)
     state = replicate(state, mesh)
     step = make_shard_map_train_step(model, tx, mesh, donate=False)
 
     batch_size = 8
-    rows = process_batch_rows(mesh, batch_size)
+    rows = process_batch_rows(mesh, batch_size, shard_seq=seq > 1)
     assert rows == slice(pid * batch_size // nproc,
                          (pid + 1) * batch_size // nproc), rows
     metrics = None
@@ -64,7 +67,8 @@ def main():
                                             seed=10 + i).items()}
         local = {k: v[rows] for k, v in gbatch.items()}
         state, metrics = step(state, globalize_batch(local, mesh,
-                                                     batch_size))
+                                                     batch_size,
+                                                     shard_seq=seq > 1))
     print(f"MH_RESULT loss={float(np.asarray(metrics['loss'])):.17g} "
           f"grad_norm={float(np.asarray(metrics['grad_norm'])):.17g}",
           flush=True)

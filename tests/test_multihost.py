@@ -101,9 +101,13 @@ def _free_port():
     return port
 
 
-def test_two_process_train_matches_single(tmp_path):
+@pytest.mark.parametrize("seq", [1, 2])
+def test_two_process_train_matches_single(tmp_path, seq):
     """2-process x 4-device distributed train steps == the single-process
-    8-device shard_map steps (per-process batch rows, Gloo collectives)."""
+    8-device shard_map steps (per-process batch rows, Gloo collectives).
+    ``seq=2`` composes multi-host with context parallelism: the global
+    mesh is (4 data x 2 seq) and each process's devices form whole
+    (data-row x full-seq) blocks."""
     from mdgat_tpu.models import MDGAT
     from mdgat_tpu.parallel import make_shard_map_train_step
     from mdgat_tpu.train import create_train_state
@@ -113,13 +117,14 @@ def test_two_process_train_matches_single(tmp_path):
     cfg = tiny_cfg()
     model = MDGAT(cfg)
     state, tx = create_train_state(model, jax.random.PRNGKey(1), 1e-4)
-    mesh = make_mesh(data=8, seq=1)
+    mesh = make_mesh(data=8 // seq, seq=seq)
     state = replicate(state, mesh)
     step = make_shard_map_train_step(model, tx, mesh, donate=False)
     metrics = None
     for i in range(steps):
         batch = real_gt_batch(cfg, b=8, seed=10 + i)
-        state, metrics = step(state, shard_batch(batch, mesh))
+        state, metrics = step(state, shard_batch(batch, mesh,
+                                                 shard_seq=seq > 1))
     ref_loss = float(np.asarray(metrics["loss"]))
     ref_gn = float(np.asarray(metrics["grad_norm"]))
 
@@ -128,7 +133,7 @@ def test_two_process_train_matches_single(tmp_path):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, "mh_worker.py"),
-         str(pid), "2", str(port), str(steps)],
+         str(pid), "2", str(port), str(steps), str(seq)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
     outs = []
