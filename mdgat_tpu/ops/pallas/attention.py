@@ -37,6 +37,11 @@ BIG_NEG = -1e30
 _BISECT_ITERS_EXACT = 32
 # Float value-bisection steps for the fast path (see fbisect below).
 _BISECT_ITERS_FAST = 14
+# k-ary selection (pack several midpoint counts into one int32 traversal —
+# see the selection branches in _stacked_prob). Module-level gate so a
+# real-chip A/B (or a Mosaic toolchain regression on the packed int32
+# ops) is a one-line flip, not a git-stash dance.
+_KARY_SELECT = True
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 # Backward blocking budget: live [N, M] f32 temporaries per head iteration
 # (s, p, dp, ds + slack) x block_b elements must fit. Swept on the real
@@ -116,7 +121,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
         # search for the largest key t with cnt(>= t) >= k — that key IS
         # the k-th largest score
-        if s.shape[1] <= 1023:
+        if _KARY_SELECT and s.shape[1] <= 1023:
             # quaternary with packed counts (see the fast path below for
             # the packing economics): nested ceil-averages quarter the
             # interval per single-traversal step, so 16 steps resolve the
@@ -202,7 +207,8 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
         m_sz = s.shape[1]
         bits = max(int(np.ceil(np.log2(m_sz + 1))), 1)
-        n_mid = min(3, 31 // bits) if bits <= 15 else 1
+        n_mid = (min(3, 31 // bits)
+                 if (_KARY_SELECT and bits <= 15) else 1)
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
         iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))
