@@ -165,6 +165,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         # unrolled: the TPU scalar-core loop overhead of a rolled/dynamic
         # loop costs more than the extra VPU passes (measured: rolled
         # 2.5k, early-exit while 2.5k, unrolled 3.5k pairs/s end-to-end)
+        mx = _key_to_float(hi)             # pre-search row max (see below)
         lo, hi = jax.lax.fori_loop(0, iters_exact, bisect, (lo, hi),
                                    unroll=True)
         keep = ikey >= lo
@@ -234,6 +235,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
                                    new_hi)
             return new_lo, new_hi
 
+        mx = hi                            # pre-search row max (see below)
         lo, hi = jax.lax.fori_loop(0, iters, fbisect, (lo, hi),
                                    unroll=True)
         keep = s >= lo
@@ -241,10 +243,14 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     else:
         keep = valid & jnp.ones_like(s, bool)
         thr = jnp.full((s.shape[0], 1), neg, dt)
+        mx = jnp.max(s, axis=1, keepdims=True)  # masked entries already neg
 
-    s_m = jnp.where(keep, s, neg)
-    mx = jnp.max(s_m, axis=1, keepdims=True)
-    e = jnp.exp(s_m - mx) * keep.astype(dt)
+    # the row max is always in the kept set (k >= 1 and ties keep it), so
+    # the softmax max equals the PRE-search interval top — no
+    # post-selection max pass over the slab. exp(BIG_NEG) == 0 exactly,
+    # so the where() also zeroes dropped entries (all-masked rows: mx is
+    # the sentinel and keep is empty, every entry exponentiates BIG_NEG).
+    e = jnp.exp(jnp.where(keep, s - mx, neg))
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-38, dt))
     return e, 1.0 / denom, thr, mx + jnp.log(denom)
