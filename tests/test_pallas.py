@@ -507,3 +507,42 @@ def test_fused_gap_loss_parity(masked):
     for a, r in zip(g2, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_kary_select_gate_matches_binary(monkeypatch):
+    """``_KARY_SELECT=False`` restores the legacy binary selectors: the
+    exact path must be BIT-identical across the gate, and the fast path
+    must keep the same set (thresholds within the shared interval
+    resolution) — masked rows, all-masked rows, and ties included."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(3)
+    s = np.asarray(rng.normal(size=(4 * 2 * 16, 48)) * 5, np.float32)
+    s[7, :] = 1.25  # an all-ties row
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False  # an all-masked row
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+
+    outs = {}
+    for gate in (False, True):
+        monkeypatch.setattr(A, "_KARY_SELECT", gate)
+        outs[gate] = {
+            "fast": A._stacked_prob(sj, vj, topk=8, exact=False,
+                                    has_mask=True),
+            "exact": A._stacked_prob(sj, vj, topk=8, exact=True,
+                                     has_mask=True),
+        }
+    for part in range(4):  # e, inv, thr, lse — exact path bit-identical
+        np.testing.assert_array_equal(
+            np.asarray(outs[False]["exact"][part]),
+            np.asarray(outs[True]["exact"][part]))
+    eb, ib = outs[False]["fast"][:2]
+    ek, ik = outs[True]["fast"][:2]
+    pb = np.asarray(eb) * np.asarray(ib)
+    pk = np.asarray(ek) * np.asarray(ik)
+    # same kept set (interval resolutions match; random scores don't tie
+    # at the range/2^14 scale) and probabilities to f32 noise
+    np.testing.assert_array_equal(pb > 0, pk > 0)
+    np.testing.assert_allclose(pb, pk, atol=1e-6)
+    assert not np.asarray(outs[True]["fast"][0])[5].any()  # all-masked row
