@@ -138,10 +138,17 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
                 packed = ((ikey >= m1).astype(jnp.int32)
                           + (ikey >= m2).astype(jnp.int32) * base
                           + (ikey >= m3).astype(jnp.int32) * (base * base))
-                cnt = jnp.sum(packed, axis=1, keepdims=True)
-                t1 = (cnt % base) >= topk
-                t2 = ((cnt // base) % base) >= topk
-                t3 = (cnt // (base * base)) >= topk
+                # dtype pinned: under x64 the default sum accumulator
+                # promotes to int64
+                cnt = jnp.sum(packed, axis=1, keepdims=True,
+                              dtype=jnp.int32)
+                # counts are nonnegative: unpack with logical shifts +
+                # masks (plainer Mosaic lowering than signed div/mod)
+                fmask = np.int32(base - 1)
+                t1 = (cnt & fmask) >= topk
+                t2 = (jax.lax.shift_right_logical(cnt, np.int32(10))
+                      & fmask) >= topk
+                t3 = jax.lax.shift_right_logical(cnt, np.int32(20)) >= topk
                 nlo = jnp.where(t3, m3,
                                 jnp.where(t2, m2, jnp.where(t1, m1, lo)))
                 nhi = jnp.where(t3, hi, jnp.where(t2, m3 - one,
@@ -155,7 +162,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
                 lo, hi = carry
                 mid = ceil_avg(lo, hi)
                 cnt = jnp.sum((ikey >= mid).astype(jnp.int32),
-                              axis=1, keepdims=True)
+                              axis=1, keepdims=True, dtype=jnp.int32)
                 take = cnt >= topk
                 return (jnp.where(take, mid, lo),
                         jnp.where(take, hi, mid - one))
@@ -223,12 +230,16 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
             for j in range(1, n_mid):
                 packed = packed + ((s >= mids[j]).astype(jnp.int32)
                                    * (base ** j))
-            cnt = jnp.sum(packed, axis=1, keepdims=True)
+            cnt = jnp.sum(packed, axis=1, keepdims=True, dtype=jnp.int32)
             # ascending override: the LARGEST midpoint with count >= k
-            # becomes lo (counts are monotone nonincreasing in j)
+            # becomes lo (counts are monotone nonincreasing in j).
+            # Nonnegative counts: unpack with logical shifts + masks
+            # (plainer Mosaic lowering than signed div/mod)
             new_lo, new_hi = lo, mids[0]
             for j in range(n_mid):
-                tj = (cnt // (base ** j)) % base >= topk
+                field = jax.lax.shift_right_logical(
+                    cnt, np.int32(j * bits)) & np.int32(base - 1)
+                tj = field >= topk
                 new_lo = jnp.where(tj, mids[j], new_lo)
                 new_hi = jnp.where(tj,
                                    hi if j == n_mid - 1 else mids[j + 1],
