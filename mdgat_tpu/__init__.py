@@ -19,6 +19,8 @@ Attention Networks") as an idiomatic JAX framework:
                 checkpointing (native + ``.pth`` conversion).
 - ``eval``      the reference metric protocols (``test.py``,
                 ``test_registration_metric.py``).
+- ``api``       high-level library entry (``from mdgat_tpu.api import
+                Matcher``): checkpoint in, matches/pose out.
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,153 @@
+"""High-level inference API: load a checkpoint, match two keypoint
+clouds, optionally fit the rigid pose.
+
+The reference exposes inference only through its eval scripts
+(``test.py:131-298``: build ``MDGAT``, DataParallel-wrap, iterate a
+DataLoader); a library user has to re-assemble that spine by hand.
+:class:`Matcher` packages it: checkpoint loading (native ``.npz`` or
+reference ``.pth`` via the converter), 128-bucket padding with validity
+masks (the static-shape contract — padded results equal unpadded,
+tested), one jitted forward per shape bucket, and the reference's SVD
+pose fit (``utils/utils_test.py:73-110``).
+
+    >>> m = Matcher("checkpoint/best_model.npz")           # doctest: +SKIP
+    >>> out = m.match(kp0, desc0, kp1, desc1)               # doctest: +SKIP
+    >>> reg = m.register(kp0, desc0, kp1, desc1)            # doctest: +SKIP
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from mdgat_tpu.core.config import Config, test_defaults
+
+_BUCKET = 128
+
+
+def _round_up(n: int, m: int = _BUCKET) -> int:
+    return max(((n + m - 1) // m) * m, m)
+
+
+class Matcher:
+    """Checkpointed MDGAT/SuperGlue matcher for library use.
+
+    ``checkpoint``: path to a native ``.npz`` (``core/checkpoint.py``) or
+    a reference ``.pth`` (converted; needs torch installed). Pass
+    ``params=``/``bn_state=`` pytrees instead to skip file loading.
+    ``overrides``: :class:`~mdgat_tpu.core.config.Config` fields on top
+    of the eval preset (``test_defaults()`` — the reference ``test.py``
+    defaults), e.g. ``net="superglue"``, ``descriptor="FPFH_only"``,
+    ``compute_dtype="bfloat16"``. Architecture fields must match the
+    checkpoint (as in the reference, where the eval CLI re-declares
+    them, ``test.py:137-151``).
+    """
+
+    def __init__(self, checkpoint: Optional[str] = None, *,
+                 params=None, bn_state=None, **overrides):
+        import jax
+        from mdgat_tpu.models import build_model
+        from mdgat_tpu.train.loop import make_eval_step
+
+        self.cfg: Config = test_defaults().replace(**overrides)
+        self.model = build_model(self.cfg)
+        if checkpoint is not None:
+            if checkpoint.endswith(".pth"):
+                from mdgat_tpu.core.checkpoint import load_pth_checkpoint
+                params, bn_state, self.meta = load_pth_checkpoint(
+                    checkpoint, self.cfg,
+                    dtype=np.dtype(self.cfg.param_dtype))
+            else:
+                from mdgat_tpu.core.checkpoint import load_checkpoint
+                ck = load_checkpoint(checkpoint)
+                params = jax.tree.map(np.asarray, ck["params"])
+                bn_state = jax.tree.map(np.asarray, ck["bn_state"])
+                self.meta = ck["meta"]
+        elif params is None:
+            raise ValueError("pass a checkpoint path or params/bn_state")
+        self.params, self.bn_state = params, bn_state
+        self._step = make_eval_step(self.model)  # caches per shape bucket
+
+    # ------------------------------------------------------------------
+    def _pad_cloud(self, kp, desc, score, dt):
+        kp = np.asarray(kp, dt)
+        desc = np.asarray(desc, dt)
+        n = len(kp)
+        score = (np.full((n,), 20.0, dt) if score is None
+                 else np.asarray(score, dt))
+        tgt = _round_up(n)
+        out_kp = np.zeros((tgt, 3), dt)
+        out_ds = np.zeros((tgt, desc.shape[1]), dt)
+        out_sc = np.zeros((tgt,), dt)
+        mask = np.zeros((tgt,), bool)
+        out_kp[:n], out_ds[:n], out_sc[:n], mask[:n] = kp, desc, score, True
+        return out_kp, out_ds, out_sc, mask, n
+
+    def match(self, kp0, desc0, kp1, desc1, score0=None, score1=None,
+              normalize: bool = True) -> Dict[str, np.ndarray]:
+        """Match one pair of keypoint clouds.
+
+        ``kp*``: [n, 3] coordinates; ``desc*``: [n, D] descriptors
+        (D = 33 FPFH for the stock model); ``score*``: [n] detector
+        saliencies (keypoint-encoder input, ``models/mdgat.py:176-188``;
+        defaults to a constant when the detector provides none).
+        ``normalize`` L2-normalizes descriptor rows (the reference data
+        layer always does, ``load_data.py:290-292``).
+
+        Returns numpy ``matches0`` [n0] / ``matches1`` [n1] (index into
+        the other cloud, -1 = unmatched) and ``matching_scores0/1``.
+        """
+        dt = np.dtype(self.cfg.compute_dtype if self.cfg.compute_dtype
+                      != "bfloat16" else "float32")
+        k0, d0, s0, m0, n0 = self._pad_cloud(kp0, desc0, score0, dt)
+        k1, d1, s1, m1, n1 = self._pad_cloud(kp1, desc1, score1, dt)
+        if normalize:
+            for d, n in ((d0, n0), (d1, n1)):
+                nrm = np.linalg.norm(d[:n], axis=1, keepdims=True)
+                d[:n] /= np.maximum(nrm, 1e-12)
+        batch = {
+            "keypoints0": k0[None], "keypoints1": k1[None],
+            "descriptors0": d0[None], "descriptors1": d1[None],
+            "scores0": s0[None], "scores1": s1[None],
+            "mask0": m0[None], "mask1": m1[None],
+        }
+        out = self._step(self.params, self.bn_state, batch)
+        return {
+            "matches0": np.asarray(out["matches0"])[0, :n0],
+            "matches1": np.asarray(out["matches1"])[0, :n1],
+            "matching_scores0":
+                np.asarray(out["matching_scores0"], np.float32)[0, :n0],
+            "matching_scores1":
+                np.asarray(out["matching_scores1"], np.float32)[0, :n1],
+        }
+
+    def register(self, kp0, desc0, kp1, desc1, score0=None, score1=None,
+                 normalize: bool = True, min_matches: int = 4,
+                 inlier_radius: float = 1.0) -> Dict:
+        """Match + one-step SVD pose fit (``solve_icp`` semantics,
+        ``utils/utils_test.py:73-110``; the reference eval fails pairs
+        with < 4 matches, ``test.py:272-274``).
+
+        Returns the match dict plus ``T`` (4x4 mapping cloud-1 points
+        into cloud 0's frame; ``None`` when under ``min_matches``),
+        ``n_matches``, ``inliers`` (matches within ``inlier_radius`` of
+        their counterpart after applying T).
+        """
+        from mdgat_tpu.eval.metrics import np_kabsch
+
+        out = self.match(kp0, desc0, kp1, desc1, score0, score1,
+                         normalize=normalize)
+        valid = out["matches0"] >= 0
+        out["n_matches"] = int(valid.sum())
+        if out["n_matches"] < max(min_matches, 3):  # SVD needs >= 3
+            out["T"], out["inliers"] = None, 0
+            return out
+        mk0 = np.asarray(kp0, np.float64)[valid]
+        mk1 = np.asarray(kp1, np.float64)[out["matches0"][valid]]
+        T = np_kabsch(mk1, mk0)
+        moved = mk1 @ T[:3, :3].T + T[:3, 3]
+        out["T"] = T
+        out["inliers"] = int(
+            (np.linalg.norm(moved - mk0, axis=1) < inlier_radius).sum())
+        return out
