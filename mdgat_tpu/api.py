@@ -22,12 +22,9 @@ from typing import Dict, Optional
 import numpy as np
 
 from mdgat_tpu.core.config import Config, test_defaults
+from mdgat_tpu.data.pipeline import _round_up as _bucket_round_up
 
 _BUCKET = 128
-
-
-def _round_up(n: int, m: int = _BUCKET) -> int:
-    return max(((n + m - 1) // m) * m, m)
 
 
 class Matcher:
@@ -52,6 +49,7 @@ class Matcher:
 
         self.cfg: Config = test_defaults().replace(**overrides)
         self.model = build_model(self.cfg)
+        self.meta: Dict = {}
         if checkpoint is not None:
             if checkpoint.endswith(".pth"):
                 from mdgat_tpu.core.checkpoint import load_pth_checkpoint
@@ -64,8 +62,9 @@ class Matcher:
                 params = jax.tree.map(np.asarray, ck["params"])
                 bn_state = jax.tree.map(np.asarray, ck["bn_state"])
                 self.meta = ck["meta"]
-        elif params is None:
-            raise ValueError("pass a checkpoint path or params/bn_state")
+        elif params is None or bn_state is None:
+            raise ValueError(
+                "pass a checkpoint path or BOTH params and bn_state")
         self.params, self.bn_state = params, bn_state
         self._step = make_eval_step(self.model)  # caches per shape bucket
 
@@ -76,7 +75,7 @@ class Matcher:
         n = len(kp)
         score = (np.full((n,), 20.0, dt) if score is None
                  else np.asarray(score, dt))
-        tgt = _round_up(n)
+        tgt = max(_bucket_round_up(n, _BUCKET), _BUCKET)
         out_kp = np.zeros((tgt, 3), dt)
         out_ds = np.zeros((tgt, desc.shape[1]), dt)
         out_sc = np.zeros((tgt,), dt)
@@ -130,7 +129,8 @@ class Matcher:
         with < 4 matches, ``test.py:272-274``).
 
         Returns the match dict plus ``T`` (4x4 mapping cloud-1 points
-        into cloud 0's frame; ``None`` when under ``min_matches``),
+        into cloud 0's frame; ``None`` when under ``max(min_matches, 3)``
+        — the SVD fit itself needs three correspondences),
         ``n_matches``, ``inliers`` (matches within ``inlier_radius`` of
         their counterpart after applying T).
         """

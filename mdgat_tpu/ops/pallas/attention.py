@@ -262,8 +262,12 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     # so the where() also zeroes dropped entries (all-masked rows: mx is
     # the sentinel and keep is empty, every entry exponentiates BIG_NEG).
     e = jnp.exp(jnp.where(keep, s - mx, neg))
+    # any row with a kept entry has denom >= 1 (its max exponentiates to
+    # exactly 1), so the floor only guards ALL-masked rows — and it must
+    # be a NORMAL f32 (1e-38 is subnormal: TPU flush-to-zero turns it
+    # into 0, making inv = inf and the zero attention output 0*inf = NaN)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
-                        jnp.asarray(1e-38, dt))
+                        jnp.asarray(1e-30, dt))
     return e, 1.0 / denom, thr, mx + jnp.log(denom)
 
 

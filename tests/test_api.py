@@ -137,5 +137,7 @@ def test_register_too_few_matches(tiny_ckpt, monkeypatch):
 
 
 def test_requires_checkpoint_or_params():
-    with pytest.raises(ValueError, match="checkpoint path or params"):
+    with pytest.raises(ValueError, match="BOTH params and bn_state"):
         Matcher()
+    with pytest.raises(ValueError, match="BOTH params and bn_state"):
+        Matcher(params={})  # bn_state missing

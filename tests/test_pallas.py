@@ -541,8 +541,13 @@ def test_kary_select_gate_matches_binary(monkeypatch):
     ek, ik = outs[True]["fast"][:2]
     pb = np.asarray(eb) * np.asarray(ib)
     pk = np.asarray(ek) * np.asarray(ik)
-    # same kept set (interval resolutions match; random scores don't tie
-    # at the range/2^14 scale) and probabilities to f32 noise
+    # probabilities finite EVERYWHERE (the all-masked row must produce
+    # zeros, not 0*inf NaN — the denom floor must be a normal f32, TPU
+    # FTZ flushes subnormals), same kept set (interval resolutions
+    # match; random scores don't tie at the range/2^14 scale), values
+    # to f32 noise
+    assert np.isfinite(pb).all() and np.isfinite(pk).all()
     np.testing.assert_array_equal(pb > 0, pk > 0)
     np.testing.assert_allclose(pb, pk, atol=1e-6)
     assert not np.asarray(outs[True]["fast"][0])[5].any()  # all-masked row
+    assert (pk[5] == 0).all()
