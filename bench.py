@@ -35,7 +35,8 @@ K_STEPS = 30
 # minutes instead of failing fast — so probe the port with a raw socket
 # BEFORE importing jax, and retry for a bounded window in case the relay is
 # being respawned. See CLAUDE.md "Environment gotchas".
-RELAY_ADDR = ("127.0.0.1", 8082)
+RELAY_ADDR = ("127.0.0.1",
+              int(os.environ.get("BENCH_RELAY_PORT", "8082")))
 RELAY_WAIT_S = float(os.environ.get("BENCH_RELAY_WAIT_S", "600"))
 
 

@@ -1,5 +1,6 @@
 """CLI compatibility tests: flag parsing, presets, run-name scheme."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -138,3 +139,27 @@ def test_shard_map_flag_and_resolution():
     assert no_kernels.replace(shard_map=True).resolve_shard_map(8) is True
     assert auto.replace(shard_map=False).resolve_shard_map(8) is False
     assert auto.replace(shard_map=True).resolve_shard_map(1) is False
+
+
+def test_bench_relay_outage_reports_json():
+    """bench.py with an unreachable TPU relay must emit a well-formed
+    single-line JSON result carrying an ``error`` field (never hang in
+    axon backend init — the driver records this line as the round's
+    bench artifact; see bench.py::wait_for_relay)."""
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        env=dict(os.environ, BENCH_RELAY_PORT="1",  # nothing listens
+                 BENCH_RELAY_WAIT_S="0"),
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    line = r.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["value"] == 0.0
+    assert out["vs_baseline"] is None
+    assert "relay" in out["error"]
+    assert out["unit"] == "pairs/s"
