@@ -110,3 +110,36 @@ def test_shard_map_cli_eval_matches_plain(trained_checkpoint):
                        if ln.startswith("average repeatibility")]
     assert agg(sharded) and agg(sharded) == agg(plain), (
         f"sharded:\n{agg(sharded)}\nplain:\n{agg(plain)}")
+
+
+def test_pointnet_mode_cli_smoke(tmp_path_factory):
+    """The learned-descriptor (PointNet++) mode through the SHIPPED CLIs:
+    synthetic raw clouds are generated (cli.py:252), the staged train
+    loop runs and checkpoints, and test.py evaluates the produced
+    checkpoint in the same mode. A smoke test, not a learning proof —
+    pointnet-mode convergence is too slow for CPU CI; gradient flow per
+    stage is asserted in test_pointnet.py::test_staged_training.
+    Reference path: models/mdgat.py:129-164 (pointnet branch) driven by
+    train.py:98-113."""
+    d = tmp_path_factory.mktemp("e2e_pn")
+    data = str(d / "kd")
+    models = str(d / "models")
+    pn = ["--descriptor", "pointnet"]
+    out = _run("train.py", pn + ["--train_path", data, "--epoch", "1",
+                                 "--steps_per_epoch", "3", "--model_out_path",
+                                 models], cwd=_REPO)
+    losses = re.findall(r"epoch_loss (\d+\.\d+)", out)
+    assert len(losses) == 1 and float(losses[0]) == float(losses[0]), out[-2000:]
+    cks = []
+    for root, _, files in os.walk(models):
+        cks += [os.path.join(root, f) for f in files if f.endswith(".npz")]
+    assert cks, f"no pointnet checkpoint written under {models}"
+    ck = max(cks, key=os.path.getmtime)
+    assert "pointnet" in ck  # run-name scheme reflects the mode
+
+    ev = _run("test.py", pn + ["--train_path", data, "--resume_model", ck,
+                               "--max_pairs", "8"], cwd=_REPO)
+    # aggregate line prints; repeatability is data-driven (GT protocol),
+    # nonzero even for an undertrained model
+    rep = _aggregate(ev, "average repeatibility:")
+    assert rep > 0.2, ev[-2000:]
