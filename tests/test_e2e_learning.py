@@ -143,3 +143,32 @@ def test_pointnet_mode_cli_smoke(tmp_path_factory):
     # nonzero even for an undertrained model
     rep = _aggregate(ev, "average repeatibility:")
     assert rep > 0.2, ev[-2000:]
+
+
+def test_superglue_net_cli_smoke(tmp_path_factory):
+    """The SuperGlue baseline net + its NLL loss through the SHIPPED
+    CLIs (reference superglue.py:345-376 + train.py --net superglue —
+    upstream this combination crashes, README "Reference divergences";
+    here it must train, checkpoint under the superglue run-name scheme,
+    and evaluate)."""
+    d = tmp_path_factory.mktemp("e2e_sg")
+    data = str(d / "kd")
+    models = str(d / "models")
+    sg = ["--net", "superglue", "--k", "None", "--loss_method", "superglue"]
+    out = _run("train.py", sg + ["--train_path", data, "--epoch", "1",
+                                 "--steps_per_epoch", "3",
+                                 "--model_out_path", models], cwd=_REPO)
+    losses = re.findall(r"epoch_loss (\d+\.\d+)", out)
+    assert len(losses) == 1, out[-2000:]
+    cks = []
+    for root, _, files in os.walk(models):
+        cks += [os.path.join(root, f) for f in files if f.endswith(".npz")]
+    assert cks, f"no superglue checkpoint written under {models}"
+    ck = max(cks, key=os.path.getmtime)
+    assert "superglue" in ck  # run-name scheme reflects net + loss
+
+    ev = _run("test.py", ["--net", "superglue", "--k", "None",
+                          "--train_path", data, "--resume_model", ck,
+                          "--max_pairs", "8"], cwd=_REPO)
+    rep = _aggregate(ev, "average repeatibility:")
+    assert rep > 0.2, ev[-2000:]
