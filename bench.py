@@ -151,7 +151,12 @@ def bench_tpu():
     per_train = (time.time() - t0 - rtt) / 5
     log(f"train: {per_train * 1e3:.1f} ms/step @ reference config "
         f"(batch 64, N 512) -> {64 / per_train:.0f} pairs/s")
-    return pairs_per_sec
+    return pairs_per_sec, {
+        "eval_ms_per_step_b64_n256": round(per_step * 1e3, 2),
+        "sinkhorn_pair_iters_per_s": round(20 * BATCH / per_ot),
+        "train_ms_per_step_b64_n512": round(per_train * 1e3, 1),
+        "train_pairs_per_s": round(64 / per_train),
+    }
 
 
 def bench_torch_cpu():
@@ -196,7 +201,7 @@ def main():
                      "benchmark could not run",
         }))
         return
-    tpu_pps = bench_tpu()
+    tpu_pps, extra = bench_tpu()
     try:
         cpu_pps = bench_torch_cpu()
     except Exception as e:  # torch baseline is best-effort
@@ -208,6 +213,7 @@ def main():
         "value": round(tpu_pps, 1),
         "unit": "pairs/s",
         "vs_baseline": round(vs, 1) if vs else None,
+        "extra": extra,
     }))
 
 
