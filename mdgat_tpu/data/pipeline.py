@@ -268,21 +268,32 @@ class SparseDataset:
     def batches(self, batch_size: int, shuffle: bool = False,
                 seed: int = 0, drop_last: bool = True,
                 use_native: bool = True,
-                rows: Optional[slice] = None) -> Iterator[Dict]:
+                rows: Optional[slice] = None,
+                pair_range: Optional[tuple] = None) -> Iterator[Dict]:
         """Stacked numpy batches (the DataLoader equivalent, X2).
 
-        ``rows``: per-process slice of every global batch (multi-host —
-        ``parallel/multihost.py``): the shuffle order and the variable-N
-        bucket stay GLOBAL (identical across processes, same seed), but
-        only the sliced rows are loaded/stacked on this host. Requires
-        ``drop_last`` (a short final batch would break the equal
+        ``rows``: per-process slice of every global batch (multi-host
+        TRAIN — ``parallel/multihost.py``): the shuffle order and the
+        variable-N bucket stay GLOBAL (identical across processes, same
+        seed), but only the sliced rows are loaded/stacked on this host.
+        Requires ``drop_last`` (a short final batch would break the equal
         per-process shares the global-array assembly needs).
+
+        ``pair_range``: ``(lo, hi)`` restriction of the (unshuffled) pair
+        list — multi-host EVAL's contiguous per-process pair block
+        (``parallel/multihost.py::eval_pair_range``); batches are then
+        formed from this subset only, entirely process-local.
         """
         if rows is not None and not drop_last:
             raise ValueError("batches(rows=...) requires drop_last=True: "
                              "per-process slices assume equal full-size "
                              "global batches")
-        order = np.arange(len(self))
+        if pair_range is not None and rows is not None:
+            raise ValueError("rows= (global batches, sliced per process) "
+                             "and pair_range= (process-local pair subset) "
+                             "are mutually exclusive")
+        order = (np.arange(len(self)) if pair_range is None
+                 else np.arange(*pair_range))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         n_b = len(order) // batch_size if drop_last else \

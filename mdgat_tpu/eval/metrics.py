@@ -46,6 +46,24 @@ class AverageMeter:
         self.sq_sum += val ** 2 * n
         self.var = self.sq_sum / self.count - self.avg ** 2
 
+    # -- multi-host merging (sum/sq_sum/count are additive; `val` is the
+    #    last seen value and meaningless across processes) --
+
+    def state(self) -> np.ndarray:
+        return np.array([self.sum, self.sq_sum, float(self.count)],
+                        np.float64)
+
+    @classmethod
+    def from_states(cls, states) -> "AverageMeter":
+        m = cls()
+        s = np.sum(np.stack([np.asarray(st, np.float64) for st in states]),
+                   axis=0)
+        m.sum, m.sq_sum, m.count = float(s[0]), float(s[1]), int(s[2])
+        if m.count:
+            m.avg = m.sum / m.count
+            m.var = m.sq_sum / m.count - m.avg ** 2
+        return m
+
 
 def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
                      valid_mask: Optional[np.ndarray] = None,
@@ -236,6 +254,36 @@ class TestEvalAccumulator:
         mean["fail_rate"] = self.fail / denom
         mean["baned_rate"] = self.baned_data / denom
         return mean
+
+    # -- multi-host merging: each process accumulates its contiguous pair
+    #    slice, then the per-process states concatenate (the summary means
+    #    are order-free; fail/ban/n_pairs counters are additive, so the
+    #    merged summary equals a single-process pass over all pairs) --
+
+    def state_vector(self) -> np.ndarray:
+        """Flat f64 encoding: [fail, baned, n_pairs, 13 array lengths,
+        arrays concatenated in KEYS order] (all counts exact in f64)."""
+        head = [float(self.fail), float(self.baned_data),
+                float(self.n_pairs)]
+        head += [float(len(self.arrays[k])) for k in self.KEYS]
+        body = [np.asarray(self.arrays[k], np.float64) for k in self.KEYS]
+        return np.concatenate([np.array(head, np.float64)] + body)
+
+    @classmethod
+    def from_state_vectors(cls, vecs) -> "TestEvalAccumulator":
+        acc = cls()
+        nk = len(cls.KEYS)
+        for vec in vecs:
+            vec = np.asarray(vec, np.float64)
+            acc.fail += int(vec[0])
+            acc.baned_data += int(vec[1])
+            acc.n_pairs += int(vec[2])
+            lens = vec[3:3 + nk].astype(np.int64)
+            off = 3 + nk
+            for k, ln in zip(cls.KEYS, lens):
+                acc.arrays[k].extend(vec[off:off + ln].tolist())
+                off += ln
+        return acc
 
 
 def registration_summary(meters: Dict[str, AverageMeter]) -> Dict:

@@ -36,7 +36,7 @@ class EvalPipeline:
                  batch_size: int,
                  fetch: Sequence[str] = ("matches0",),
                  fetch_gt: Sequence[str] = ("gt_matches0",),
-                 depth: int = 2, shard_inputs=None):
+                 depth: int = 2, shard_inputs=None, pair_range=None):
         self.dataset = dataset
         self.prepare = prepare
         self.eval_step = eval_step
@@ -50,12 +50,19 @@ class EvalPipeline:
         # model inputs before dispatch (e.g. shard_batch over the mesh
         # `data` axis for the shard_map eval step, parallel/smap.py)
         self.shard_inputs = shard_inputs
+        # optional (lo, hi) pair subset: multi-host eval's per-process
+        # contiguous block (parallel/multihost.py::eval_pair_range)
+        self.pair_range = pair_range
 
     def _produce(self, q: queue.Queue):
         try:
+            # pair_range only when set: the dataset contract stays minimal
+            # for duck-typed datasets (single-process callers)
+            kw = ({} if self.pair_range is None
+                  else {"pair_range": self.pair_range})
             for batch in self.dataset.batches(self.batch_size,
                                               shuffle=False,
-                                              drop_last=False):
+                                              drop_last=False, **kw):
                 q.put(self._pad_tail(batch))
             q.put(None)
         except BaseException as e:  # noqa: BLE001 — re-raised in __iter__

@@ -102,6 +102,37 @@ def process_batch_rows(mesh, global_batch: int,
     return slice(lo, hi)
 
 
+def eval_pair_range(n_total: int, max_pairs: int = 0):
+    """This process's contiguous ``[lo, hi)`` slice of the eval pair list.
+
+    Multi-host eval is embarrassingly parallel: each process evaluates a
+    contiguous block of pairs on its OWN local devices (no global arrays)
+    and the per-pair metric records are merged at the end
+    (:func:`allgather_host_vector`). ``max_pairs`` (the CLI cap) applies
+    to the GLOBAL prefix first, matching the single-process semantics of
+    "the first max_pairs pairs in dataset order"."""
+    total = min(n_total, max_pairs) if max_pairs else n_total
+    p, np_ = jax.process_index(), jax.process_count()
+    return p * total // np_, (p + 1) * total // np_
+
+
+def allgather_host_vector(vec: np.ndarray):
+    """Gather a per-process 1-D f64 host vector from every process;
+    returns the list of vectors in process order. Lengths may differ
+    (lengths are exchanged first, payloads are padded to the max)."""
+    from jax.experimental import multihost_utils
+
+    vec = np.asarray(vec, np.float64).reshape(-1)
+    sizes = multihost_utils.process_allgather(
+        np.array([vec.size], np.int64))
+    sizes = np.asarray(sizes).reshape(-1)
+    mx = int(sizes.max()) if sizes.size else 0
+    pad = np.zeros(mx, np.float64)
+    pad[:vec.size] = vec
+    gathered = np.asarray(multihost_utils.process_allgather(pad))
+    return [gathered[p, :int(sizes[p])] for p in range(gathered.shape[0])]
+
+
 def globalize_batch(local_batch: Dict, mesh, global_batch: int,
                     shard_seq: bool = False) -> Dict:
     """Assemble global device arrays from this process's batch rows.

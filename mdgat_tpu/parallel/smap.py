@@ -195,12 +195,21 @@ def make_eval_runtime(model, cfg, params, bn_state, batch_size: int):
     from mdgat_tpu.train.loop import make_eval_step
 
     if jax.process_count() > 1:
-        # multi-host is a train-loop capability (parallel/multihost.py);
-        # the eval CLIs' per-pair metric readbacks assume every device is
-        # addressable — run them single-process
-        raise SystemExit("multi-host eval is not supported: run test.py /"
-                         " test_registration_metric.py single-process")
-    mesh = make_mesh(data=cfg.data_parallel or None, seq=cfg.seq_parallel)
+        # Multi-host eval is embarrassingly parallel: each process
+        # evaluates its own contiguous pair block (eval_pair_range) on a
+        # mesh of its LOCAL devices only — no cross-host arrays, every
+        # device of the local mesh addressable, per-pair readbacks stay
+        # host-local. The per-pair metric records merge at the end
+        # (multihost.py::allgather_host_vector). cfg.batch_size and
+        # cfg.data_parallel are therefore PER-PROCESS quantities here.
+        local = jax.local_devices()
+        n_data = min(cfg.data_parallel or len(local),
+                     len(local) // cfg.seq_parallel)
+        mesh = make_mesh(data=max(n_data, 1), seq=cfg.seq_parallel,
+                         devices=local)
+    else:
+        mesh = make_mesh(data=cfg.data_parallel or None,
+                         seq=cfg.seq_parallel)
     n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
     if not cfg.resolve_shard_map(n_data):
         return make_eval_step(model), params, bn_state, None

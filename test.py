@@ -69,6 +69,15 @@ def main():
     acc = TestEvalAccumulator()
     t0 = time.time()
 
+    # multi-host: each process evaluates its contiguous pair block on its
+    # local devices; per-pair records merge before the aggregate print
+    # (parallel/multihost.py — the reference is single-process only)
+    multihost = jax.process_count() > 1
+    pair_range = None
+    if multihost:
+        from mdgat_tpu.parallel.multihost import eval_pair_range
+        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0)
+
     # three-stage pipeline: producer-thread IO/batching, async device
     # dispatch, one-batch-delayed readback (see eval/runner.py). Only the
     # small outputs ride the tunnel; keypoints/masks are already
@@ -77,7 +86,8 @@ def main():
              else ("matches0",))
     pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
                             cfg.batch_size, fetch=fetch,
-                            shard_inputs=shard_inputs)
+                            shard_inputs=shard_inputs,
+                            pair_range=pair_range)
     for batch, out in pipeline:
         gt_host = out
 
@@ -131,10 +141,19 @@ def main():
                            matches, conf[valid], tp_mask, fp_mask,
                            line_radius=args.vis_line_width)
 
-        if args.max_pairs and acc.n_pairs >= args.max_pairs:
+        # multi-host: the cap is already baked into pair_range (it applies
+        # to the GLOBAL prefix, then splits across processes)
+        if not multihost and args.max_pairs and acc.n_pairs >= args.max_pairs:
             break
 
     dt = time.time() - t0
+    if multihost:
+        from mdgat_tpu.parallel.multihost import (allgather_host_vector,
+                                                  is_primary)
+        states = allgather_host_vector(acc.state_vector())
+        if not is_primary():
+            return
+        acc = TestEvalAccumulator.from_state_vectors(states)
     mean = acc.summary()
     print(
         "average repeatibility: {:.3f}, inlier_mean {:.3f}, "

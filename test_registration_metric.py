@@ -57,18 +57,27 @@ def main():
     eval_step, params, bn_state, shard_inputs = make_eval_runtime(
         model, cfg, params, bn_state, cfg.batch_size)
 
-    meters = {k: AverageMeter() for k in
-              ("rep", "rre", "rte", "inlier", "inlier_ratio", "recall",
-               "tp_rate", "fp_rate", "RR")}
-    meters["RR"] = AverageMeter()
+    METER_KEYS = ("rep", "rre", "rte", "inlier", "inlier_ratio", "recall",
+                  "tp_rate", "fp_rate", "RR")
+    meters = {k: AverageMeter() for k in METER_KEYS}
     baned_data = 0
     n_pairs = 0
     import time
     t0 = time.time()
 
+    # multi-host: each process evaluates its contiguous pair block on its
+    # local devices; meter states merge before the aggregate print
+    # (parallel/multihost.py — the reference is single-process only)
+    multihost = jax.process_count() > 1
+    pair_range = None
+    if multihost:
+        from mdgat_tpu.parallel.multihost import eval_pair_range
+        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0)
+
     pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
                             cfg.batch_size, fetch=("matches0",),
-                            shard_inputs=shard_inputs)
+                            shard_inputs=shard_inputs,
+                            pair_range=pair_range)
     for batch, out in pipeline:
         gt_host = out
 
@@ -131,8 +140,25 @@ def main():
                           mm["precision"], mm["recall"], mm["fp_rate"],
                           mm["tp_rate"]))
 
-        if args.max_pairs and n_pairs >= args.max_pairs:
+        # multi-host: the cap is already baked into pair_range (it applies
+        # to the GLOBAL prefix, then splits across processes)
+        if not multihost and args.max_pairs and n_pairs >= args.max_pairs:
             break
+
+    if multihost:
+        from mdgat_tpu.parallel.multihost import (allgather_host_vector,
+                                                  is_primary)
+        local = np.concatenate(
+            [np.array([baned_data, n_pairs], np.float64)]
+            + [meters[k].state() for k in METER_KEYS])
+        states = allgather_host_vector(local)
+        if not is_primary():
+            return
+        baned_data = int(sum(st[0] for st in states))
+        n_pairs = int(sum(st[1] for st in states))
+        meters = {k: AverageMeter.from_states(
+                      [st[2 + 3 * i:5 + 3 * i] for st in states])
+                  for i, k in enumerate(METER_KEYS)}
 
     s = registration_summary(meters)
     print("repeatibility, inlier, RR || precision(inlier ratio), recall, "

@@ -365,3 +365,54 @@ def test_regmetric_summary_f1_of_averages():
     p, r = ref["precision"], ref["recall"]
     assert ref["F1"] == pytest.approx(2 * p * r / (p + r))
     assert 0 < ref["RR"] < 1  # mix of success and failure cases
+
+
+def test_accumulator_state_merge_equals_single_pass():
+    """Multi-host eval merging: two accumulators over contiguous halves
+    of the pair stream, merged via state vectors, must reproduce the
+    single-accumulator summary exactly (parallel/multihost.py protocol —
+    means are over the concatenated per-pair records, counters add)."""
+    rng = np.random.default_rng(11)
+    cases = _make_eval_cases(rng)
+    full = TestEvalAccumulator()
+    for c in cases:
+        full.update_pair(*c)
+
+    halves = [TestEvalAccumulator(), TestEvalAccumulator()]
+    mid = len(cases) // 2
+    for c in cases[:mid]:
+        halves[0].update_pair(*c)
+    for c in cases[mid:]:
+        halves[1].update_pair(*c)
+    merged = TestEvalAccumulator.from_state_vectors(
+        [h.state_vector() for h in halves])
+
+    assert merged.n_pairs == full.n_pairs
+    assert merged.fail == full.fail
+    assert merged.baned_data == full.baned_data
+    got, want = merged.summary(), full.summary()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=0, abs=0,
+                                       nan_ok=True), k
+
+
+def test_average_meter_state_merge():
+    """AverageMeter.from_states == one meter fed both streams (sums are
+    additive; nan poisoning propagates identically)."""
+    rng = np.random.default_rng(3)
+    a_vals = rng.normal(size=7).tolist()
+    b_vals = rng.normal(size=4).tolist() + [float("nan")]
+    one = AverageMeter()
+    for v in a_vals + b_vals:
+        one.update(v)
+    ma, mb = AverageMeter(), AverageMeter()
+    for v in a_vals:
+        ma.update(v)
+    for v in b_vals:
+        mb.update(v)
+    merged = AverageMeter.from_states([ma.state(), mb.state()])
+    assert merged.count == one.count
+    np.testing.assert_allclose(merged.sum, one.sum, rtol=0, equal_nan=True)
+    assert np.isnan(merged.avg) and np.isnan(one.avg)
+    empty = AverageMeter.from_states([AverageMeter().state()])
+    assert empty.count == 0 and empty.avg == 0.0

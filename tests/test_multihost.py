@@ -156,3 +156,58 @@ def test_two_process_train_matches_single(tmp_path, seq):
         np.testing.assert_allclose(float(kv["loss"]), ref_loss, rtol=1e-9)
         np.testing.assert_allclose(float(kv["grad_norm"]), ref_gn,
                                    rtol=1e-9)
+
+
+@pytest.mark.parametrize("script", ["test.py", "test_registration_metric.py"])
+def test_two_process_eval_cli_matches_single(tmp_path, script):
+    """Multi-host EVAL at the shipped CLI surface: 2 jax.distributed
+    processes (4 local virtual CPU devices each) each evaluate their
+    contiguous half of the pair list on a LOCAL mesh, the per-pair metric
+    records merge (eval_pair_range + allgather_host_vector), and process
+    0 prints the bit-identical aggregate lines of a single-process run.
+    The reference eval is strictly single-process (test.py:131-298)."""
+    root = str(tmp_path)
+    kp_dir = write_synthetic_kitti(root, seqs=(10,), frames_per_seq=6,
+                                   pairs_per_seq=10, n_points=120, seed=5)
+    repo = os.path.dirname(HERE)
+    base = [sys.executable, os.path.join(repo, script),
+            "--platform", "cpu", "--train_path", root,
+            "--keypoints_path", kp_dir,
+            "--txt_path", f"{root}/preprocess-random-full",
+            "--max_keypoints", "64", "--batch_size", "4",
+            "--max_pairs", "8"]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    def agg_lines(out):
+        keys = ("average repeatibility", "baned_data", "repeatibility,")
+        return [ln for ln in out.splitlines()
+                if ln.startswith(keys) or " || " in ln]
+
+    single = subprocess.run(base, env=env, capture_output=True, text=True,
+                            timeout=900, cwd=repo)
+    assert single.returncode == 0, single.stdout[-3000:] + single.stderr[-3000:]
+    want = agg_lines(single.stdout)
+    assert want, single.stdout[-3000:]
+
+    port = _free_port()
+    procs = [subprocess.Popen(
+        base + ["--coordinator_address", f"127.0.0.1:{port}",
+                "--num_processes", "2", "--process_id", str(pid)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=repo) for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"rank failed:\n{out[-4000:]}"
+    assert agg_lines(outs[0]) == want, (
+        f"merged aggregate differs:\n{agg_lines(outs[0])}\nvs\n{want}")
+    assert not agg_lines(outs[1]), "non-primary process printed aggregates"
