@@ -301,8 +301,13 @@ class SparseDataset:
         for b in range(n_b):
             g_idxs = order[b * batch_size:(b + 1) * batch_size]
             # variable-N: size the shared bucket from row counts BEFORE
-            # loading (each pair loaded exactly once) — and from the FULL
-            # global batch, so every process pads to the same shape
+            # loading (each pair loaded exactly once). On the rows= path
+            # the bucket comes from the FULL global batch, so every
+            # process pads to the same shape (the global-array assembly
+            # needs it); on the pair_range= path batches are PROCESS-
+            # LOCAL, so buckets may differ per process — correctness
+            # there rests on the padded==unpadded output invariant
+            # (tests/test_masks.py), not on shape agreement
             tgt = (None if self.cfg.ensure_kpts_num
                    else self._batch_bucket(g_idxs))
             idxs = g_idxs if rows is None else g_idxs[rows]

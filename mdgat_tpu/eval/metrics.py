@@ -26,9 +26,16 @@ from mdgat_tpu.ops.geometry import (
 
 
 class AverageMeter:
-    """Running mean/variance accumulator (``utils/utils_test.py:6-25``)."""
+    """Running mean/variance accumulator (``utils/utils_test.py:6-25``).
 
-    def __init__(self):
+    ``record=True`` additionally keeps the (val, n) update history so a
+    multi-host run can merge by REPLAYING the per-process histories in
+    process order — bit-identical to the single-process sequential sum
+    (adding per-process partial sums would reassociate the f64 additions
+    and can differ in the last ulp)."""
+
+    def __init__(self, record: bool = False):
+        self.record = record
         self.reset()
 
     def reset(self):
@@ -37,6 +44,7 @@ class AverageMeter:
         self.sum = 0.0
         self.sq_sum = 0.0
         self.count = 0
+        self.history = []
 
     def update(self, val, n: int = 1):
         self.val = val
@@ -45,24 +53,58 @@ class AverageMeter:
         self.avg = self.sum / self.count
         self.sq_sum += val ** 2 * n
         self.var = self.sq_sum / self.count - self.avg ** 2
+        if self.record:
+            self.history.append((float(val), float(n)))
 
-    # -- multi-host merging (sum/sq_sum/count are additive; `val` is the
-    #    last seen value and meaningless across processes) --
-
-    def state(self) -> np.ndarray:
-        return np.array([self.sum, self.sq_sum, float(self.count)],
-                        np.float64)
+    def history_vector(self) -> np.ndarray:
+        """Flat f64 [val0, n0, val1, n1, ...] (requires ``record=True``
+        to be non-trivially populated)."""
+        return np.asarray(self.history, np.float64).reshape(-1)
 
     @classmethod
-    def from_states(cls, states) -> "AverageMeter":
+    def from_histories(cls, vecs) -> "AverageMeter":
+        """Replay history vectors in the given order — the exact update
+        sequence a single process would have applied."""
         m = cls()
-        s = np.sum(np.stack([np.asarray(st, np.float64) for st in states]),
-                   axis=0)
-        m.sum, m.sq_sum, m.count = float(s[0]), float(s[1]), int(s[2])
-        if m.count:
-            m.avg = m.sum / m.count
-            m.var = m.sq_sum / m.count - m.avg ** 2
+        for vec in vecs:
+            for val, n in np.asarray(vec, np.float64).reshape(-1, 2):
+                m.update(float(val), int(n))
         return m
+
+
+def pack_meter_records(head, meters: Dict[str, "AverageMeter"],
+                       keys) -> np.ndarray:
+    """Self-describing flat f64 encoding of ``head`` scalars plus the
+    update histories of ``meters[k] for k in keys``:
+    ``[len(head), head..., len(h_k0), h_k0..., len(h_k1), ...]``.
+    The layout is consumed only by :func:`merge_meter_records`, so meter
+    state growth cannot silently misalign a hand-rolled slice."""
+    parts = [np.array([float(len(head))], np.float64),
+             np.asarray(head, np.float64)]
+    for k in keys:
+        h = meters[k].history_vector()
+        parts += [np.array([float(h.size)], np.float64), h]
+    return np.concatenate(parts)
+
+
+def merge_meter_records(vecs, keys):
+    """Inverse of :func:`pack_meter_records` over per-process vectors (in
+    process order): returns (summed head array, merged meters dict)."""
+    heads = []
+    hists = {k: [] for k in keys}
+    for vec in vecs:
+        vec = np.asarray(vec, np.float64)
+        nh = int(vec[0])
+        heads.append(vec[1:1 + nh])
+        off = 1 + nh
+        for k in keys:
+            sz = int(vec[off])
+            off += 1
+            hists[k].append(vec[off:off + sz])
+            off += sz
+    head = np.sum(np.stack(heads), axis=0)
+    meters = {k: AverageMeter.from_histories(hists[k]) for k in keys}
+    return head, meters
 
 
 def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,

@@ -102,16 +102,24 @@ def process_batch_rows(mesh, global_batch: int,
     return slice(lo, hi)
 
 
-def eval_pair_range(n_total: int, max_pairs: int = 0):
+def eval_pair_range(n_total: int, max_pairs: int = 0,
+                    batch_size: int = 1):
     """This process's contiguous ``[lo, hi)`` slice of the eval pair list.
 
     Multi-host eval is embarrassingly parallel: each process evaluates a
     contiguous block of pairs on its OWN local devices (no global arrays)
     and the per-pair metric records are merged at the end
     (:func:`allgather_host_vector`). ``max_pairs`` (the CLI cap) applies
-    to the GLOBAL prefix first, matching the single-process semantics of
-    "the first max_pairs pairs in dataset order"."""
-    total = min(n_total, max_pairs) if max_pairs else n_total
+    to the GLOBAL prefix first, rounded UP to a whole number of
+    ``batch_size`` batches — the single-process loops only check the cap
+    after finishing a batch (test.py ``acc.n_pairs >= max_pairs``), so
+    they evaluate ``ceil(max_pairs / batch_size) * batch_size`` pairs and
+    the merged aggregates must cover the same set to stay
+    bit-identical."""
+    if max_pairs:
+        total = min(n_total, -(-max_pairs // batch_size) * batch_size)
+    else:
+        total = n_total
     p, np_ = jax.process_index(), jax.process_count()
     return p * total // np_, (p + 1) * total // np_
 

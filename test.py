@@ -76,7 +76,8 @@ def main():
     pair_range = None
     if multihost:
         from mdgat_tpu.parallel.multihost import eval_pair_range
-        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0)
+        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0,
+                                     cfg.batch_size)
 
     # three-stage pipeline: producer-thread IO/batching, async device
     # dispatch, one-batch-delayed readback (see eval/runner.py). Only the

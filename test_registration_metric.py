@@ -57,22 +57,25 @@ def main():
     eval_step, params, bn_state, shard_inputs = make_eval_runtime(
         model, cfg, params, bn_state, cfg.batch_size)
 
-    METER_KEYS = ("rep", "rre", "rte", "inlier", "inlier_ratio", "recall",
-                  "tp_rate", "fp_rate", "RR")
-    meters = {k: AverageMeter() for k in METER_KEYS}
-    baned_data = 0
-    n_pairs = 0
-    import time
-    t0 = time.time()
-
     # multi-host: each process evaluates its contiguous pair block on its
-    # local devices; meter states merge before the aggregate print
-    # (parallel/multihost.py — the reference is single-process only)
+    # local devices; meter update histories merge (replayed in process
+    # order — bit-identical to a single sequential pass) before the
+    # aggregate print (parallel/multihost.py — the reference is
+    # single-process only)
     multihost = jax.process_count() > 1
     pair_range = None
     if multihost:
         from mdgat_tpu.parallel.multihost import eval_pair_range
-        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0)
+        pair_range = eval_pair_range(len(test_set), args.max_pairs or 0,
+                                     cfg.batch_size)
+
+    METER_KEYS = ("rep", "rre", "rte", "inlier", "inlier_ratio", "recall",
+                  "tp_rate", "fp_rate", "RR")
+    meters = {k: AverageMeter(record=multihost) for k in METER_KEYS}
+    baned_data = 0
+    n_pairs = 0
+    import time
+    t0 = time.time()
 
     pipeline = EvalPipeline(test_set, prepare, eval_step, params, bn_state,
                             cfg.batch_size, fetch=("matches0",),
@@ -146,19 +149,16 @@ def main():
             break
 
     if multihost:
+        from mdgat_tpu.eval import merge_meter_records, pack_meter_records
         from mdgat_tpu.parallel.multihost import (allgather_host_vector,
                                                   is_primary)
-        local = np.concatenate(
-            [np.array([baned_data, n_pairs], np.float64)]
-            + [meters[k].state() for k in METER_KEYS])
+        local = pack_meter_records([baned_data, n_pairs], meters,
+                                   METER_KEYS)
         states = allgather_host_vector(local)
         if not is_primary():
             return
-        baned_data = int(sum(st[0] for st in states))
-        n_pairs = int(sum(st[1] for st in states))
-        meters = {k: AverageMeter.from_states(
-                      [st[2 + 3 * i:5 + 3 * i] for st in states])
-                  for i, k in enumerate(METER_KEYS)}
+        head, meters = merge_meter_records(states, METER_KEYS)
+        baned_data, n_pairs = int(head[0]), int(head[1])
 
     s = registration_summary(meters)
     print("repeatibility, inlier, RR || precision(inlier ratio), recall, "

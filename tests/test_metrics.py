@@ -396,23 +396,39 @@ def test_accumulator_state_merge_equals_single_pass():
                                        nan_ok=True), k
 
 
-def test_average_meter_state_merge():
-    """AverageMeter.from_states == one meter fed both streams (sums are
-    additive; nan poisoning propagates identically)."""
+def test_average_meter_history_merge_bit_identical():
+    """Replaying recorded per-process histories in process order is the
+    EXACT update sequence of one sequential meter — sums bit-identical
+    (partial-sum addition would reassociate f64 adds); nan poisoning
+    propagates identically."""
+    from mdgat_tpu.eval import merge_meter_records, pack_meter_records
+
     rng = np.random.default_rng(3)
     a_vals = rng.normal(size=7).tolist()
     b_vals = rng.normal(size=4).tolist() + [float("nan")]
     one = AverageMeter()
     for v in a_vals + b_vals:
         one.update(v)
-    ma, mb = AverageMeter(), AverageMeter()
+    ma, mb = AverageMeter(record=True), AverageMeter(record=True)
     for v in a_vals:
         ma.update(v)
     for v in b_vals:
         mb.update(v)
-    merged = AverageMeter.from_states([ma.state(), mb.state()])
+    merged = AverageMeter.from_histories(
+        [ma.history_vector(), mb.history_vector()])
     assert merged.count == one.count
-    np.testing.assert_allclose(merged.sum, one.sum, rtol=0, equal_nan=True)
+    assert (merged.sum == one.sum or
+            (np.isnan(merged.sum) and np.isnan(one.sum)))
     assert np.isnan(merged.avg) and np.isnan(one.avg)
-    empty = AverageMeter.from_states([AverageMeter().state()])
+
+    # the self-describing pack/merge round trip (no hand-rolled offsets)
+    keys = ("a", "b")
+    head, meters = merge_meter_records(
+        [pack_meter_records([2, 5], {"a": ma, "b": mb}, keys),
+         pack_meter_records([1, 3], {"a": AverageMeter(record=True),
+                                     "b": mb}, keys)], keys)
+    assert head.tolist() == [3.0, 8.0]
+    assert meters["a"].count == ma.count          # second process empty
+    assert meters["b"].count == 2 * mb.count
+    empty = AverageMeter.from_histories([AverageMeter().history_vector()])
     assert empty.count == 0 and empty.avg == 0.0

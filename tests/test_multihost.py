@@ -93,6 +93,16 @@ def test_batches_rows_requires_drop_last(tmp_path):
         next(ds.batches(4, drop_last=False, rows=slice(0, 2)))
 
 
+def test_eval_pair_range_whole_batch_cap():
+    """max_pairs rounds up to whole batches (single-process loops break
+    only after finishing a batch) and clamps to the dataset size."""
+    from mdgat_tpu.parallel.multihost import eval_pair_range
+    assert eval_pair_range(10, 6, 4) == (0, 8)
+    assert eval_pair_range(10, 8, 4) == (0, 8)
+    assert eval_pair_range(10, 0, 4) == (0, 10)
+    assert eval_pair_range(7, 6, 4) == (0, 7)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -175,7 +185,11 @@ def test_two_process_eval_cli_matches_single(tmp_path, script):
             "--keypoints_path", kp_dir,
             "--txt_path", f"{root}/preprocess-random-full",
             "--max_keypoints", "64", "--batch_size", "4",
-            "--max_pairs", "8"]
+            # deliberately NOT a multiple of batch_size: the single-
+            # process loops only check the cap after a whole batch (8
+            # pairs evaluated); eval_pair_range must round the global
+            # prefix up the same way or the aggregates diverge
+            "--max_pairs", "6"]
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
