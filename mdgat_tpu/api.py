@@ -121,6 +121,70 @@ class Matcher:
                 np.asarray(out["matching_scores1"], np.float32)[0, :n1],
         }
 
+    def match_batch(self, pairs, normalize: bool = True):
+        """Match many pairs in ONE batched device dispatch (the serving
+        path: the jitted forward amortizes launch overhead and fills the
+        chip — the per-pair :meth:`match` dispatches a batch of 1).
+
+        ``pairs``: sequence of dicts with keys ``kp0, desc0, kp1, desc1``
+        and optional ``score0, score1`` (the :meth:`match` arguments).
+        All pairs are padded to shared per-side buckets (max keypoint
+        count rounded up to 128 — the validity-mask contract makes padded
+        results equal unpadded, tested), so a steady serving batch size
+        reuses one compiled program per shape bucket.
+
+        Returns a list of per-pair dicts, each exactly what
+        :meth:`match` returns.
+        """
+        if not pairs:
+            return []
+        dt = np.dtype(self.cfg.compute_dtype if self.cfg.compute_dtype
+                      != "bfloat16" else "float32")
+        padded = []
+        for p in pairs:
+            k0, d0, s0, m0, n0 = self._pad_cloud(
+                p["kp0"], p["desc0"], p.get("score0"), dt)
+            k1, d1, s1, m1, n1 = self._pad_cloud(
+                p["kp1"], p["desc1"], p.get("score1"), dt)
+            if normalize:
+                for d, n in ((d0, n0), (d1, n1)):
+                    nrm = np.linalg.norm(d[:n], axis=1, keepdims=True)
+                    d[:n] /= np.maximum(nrm, 1e-12)
+            padded.append((k0, d0, s0, m0, n0, k1, d1, s1, m1, n1))
+
+        # shared per-side buckets: re-pad each cloud to the batch max
+        t0 = max(x[0].shape[0] for x in padded)
+        t1 = max(x[5].shape[0] for x in padded)
+
+        def grow(arr, tgt):
+            if arr.shape[0] == tgt:
+                return arr
+            out = np.zeros((tgt,) + arr.shape[1:], arr.dtype)
+            out[: arr.shape[0]] = arr
+            return out
+
+        batch = {
+            "keypoints0": np.stack([grow(x[0], t0) for x in padded]),
+            "descriptors0": np.stack([grow(x[1], t0) for x in padded]),
+            "scores0": np.stack([grow(x[2], t0) for x in padded]),
+            "mask0": np.stack([grow(x[3], t0) for x in padded]),
+            "keypoints1": np.stack([grow(x[5], t1) for x in padded]),
+            "descriptors1": np.stack([grow(x[6], t1) for x in padded]),
+            "scores1": np.stack([grow(x[7], t1) for x in padded]),
+            "mask1": np.stack([grow(x[8], t1) for x in padded]),
+        }
+        out = self._step(self.params, self.bn_state, batch)
+        m0 = np.asarray(out["matches0"])
+        m1 = np.asarray(out["matches1"])
+        s0 = np.asarray(out["matching_scores0"], np.float32)
+        s1 = np.asarray(out["matching_scores1"], np.float32)
+        return [{
+            "matches0": m0[b, : x[4]],
+            "matches1": m1[b, : x[9]],
+            "matching_scores0": s0[b, : x[4]],
+            "matching_scores1": s1[b, : x[9]],
+        } for b, x in enumerate(padded)]
+
     def register(self, kp0, desc0, kp1, desc1, score0=None, score1=None,
                  normalize: bool = True, min_matches: int = 4,
                  inlier_radius: float = 1.0) -> Dict:

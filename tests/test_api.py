@@ -141,3 +141,25 @@ def test_requires_checkpoint_or_params():
         Matcher()
     with pytest.raises(ValueError, match="BOTH params and bn_state"):
         Matcher(params={})  # bn_state missing
+
+
+def test_match_batch_equals_per_pair(tiny_ckpt):
+    """match_batch over mixed-size pairs == per-pair match() results
+    bit-exactly (the padded==unpadded mask contract extends to the
+    shared batch bucket), including pairs that land in different
+    128-buckets before re-padding."""
+    path, *_ = tiny_ckpt
+    m = Matcher(path, **TINY)
+    pa, pb, pc = _pair(40, seed=1), _pair(150, seed=2), _pair(90, seed=3)
+    pairs = [dict(kp0=p["kp0"], desc0=p["desc0"],
+                  kp1=p["kp1"], desc1=p["desc1"],
+                  score0=p["score0"], score1=p["score1"])
+             for p in (pa, pb, pc)]
+    batched = m.match_batch(pairs)
+    assert m.match_batch([]) == []
+    assert len(batched) == 3
+    for p, got in zip(pairs, batched):
+        one = m.match(p["kp0"], p["desc0"], p["kp1"], p["desc1"],
+                      p["score0"], p["score1"])
+        for k in one:
+            np.testing.assert_array_equal(got[k], one[k], err_msg=k)
