@@ -97,29 +97,12 @@ class Matcher:
         Returns numpy ``matches0`` [n0] / ``matches1`` [n1] (index into
         the other cloud, -1 = unmatched) and ``matching_scores0/1``.
         """
-        dt = np.dtype(self.cfg.compute_dtype if self.cfg.compute_dtype
-                      != "bfloat16" else "float32")
-        k0, d0, s0, m0, n0 = self._pad_cloud(kp0, desc0, score0, dt)
-        k1, d1, s1, m1, n1 = self._pad_cloud(kp1, desc1, score1, dt)
-        if normalize:
-            for d, n in ((d0, n0), (d1, n1)):
-                nrm = np.linalg.norm(d[:n], axis=1, keepdims=True)
-                d[:n] /= np.maximum(nrm, 1e-12)
-        batch = {
-            "keypoints0": k0[None], "keypoints1": k1[None],
-            "descriptors0": d0[None], "descriptors1": d1[None],
-            "scores0": s0[None], "scores1": s1[None],
-            "mask0": m0[None], "mask1": m1[None],
-        }
-        out = self._step(self.params, self.bn_state, batch)
-        return {
-            "matches0": np.asarray(out["matches0"])[0, :n0],
-            "matches1": np.asarray(out["matches1"])[0, :n1],
-            "matching_scores0":
-                np.asarray(out["matching_scores0"], np.float32)[0, :n0],
-            "matching_scores1":
-                np.asarray(out["matching_scores1"], np.float32)[0, :n1],
-        }
+        # a batch of one: the shared bucket of a singleton batch is the
+        # pair's own bucket, so this is the identical program and shapes
+        # the standalone implementation used
+        return self.match_batch(
+            [dict(kp0=kp0, desc0=desc0, kp1=kp1, desc1=desc1,
+                  score0=score0, score1=score1)], normalize)[0]
 
     def match_batch(self, pairs, normalize: bool = True):
         """Match many pairs in ONE batched device dispatch (the serving
@@ -136,6 +119,9 @@ class Matcher:
         Returns a list of per-pair dicts, each exactly what
         :meth:`match` returns.
         """
+        pairs = list(pairs)  # accept any iterable (an empty generator is
+        # truthy, so a falsy check alone would fall through to max() of
+        # an empty sequence)
         if not pairs:
             return []
         dt = np.dtype(self.cfg.compute_dtype if self.cfg.compute_dtype
@@ -174,15 +160,18 @@ class Matcher:
             "mask1": np.stack([grow(x[8], t1) for x in padded]),
         }
         out = self._step(self.params, self.bn_state, batch)
-        m0 = np.asarray(out["matches0"])
-        m1 = np.asarray(out["matches1"])
-        s0 = np.asarray(out["matching_scores0"], np.float32)
-        s1 = np.asarray(out["matching_scores1"], np.float32)
+        # distinct names from the m0/s0 mask/score loop variables above;
+        # .copy() so a retained per-pair result doesn't pin the whole
+        # [B, t] batch buffers (these are trimmed views otherwise)
+        ma0 = np.asarray(out["matches0"])
+        ma1 = np.asarray(out["matches1"])
+        msc0 = np.asarray(out["matching_scores0"], np.float32)
+        msc1 = np.asarray(out["matching_scores1"], np.float32)
         return [{
-            "matches0": m0[b, : x[4]],
-            "matches1": m1[b, : x[9]],
-            "matching_scores0": s0[b, : x[4]],
-            "matching_scores1": s1[b, : x[9]],
+            "matches0": ma0[b, : x[4]].copy(),
+            "matches1": ma1[b, : x[9]].copy(),
+            "matching_scores0": msc0[b, : x[4]].copy(),
+            "matching_scores1": msc1[b, : x[9]].copy(),
         } for b, x in enumerate(padded)]
 
     def register(self, kp0, desc0, kp1, desc1, score0=None, score1=None,

@@ -157,9 +157,14 @@ def test_match_batch_equals_per_pair(tiny_ckpt):
              for p in (pa, pb, pc)]
     batched = m.match_batch(pairs)
     assert m.match_batch([]) == []
+    # any iterable is accepted, including (empty) generators
+    assert m.match_batch(p for p in []) == []
+    gen = m.match_batch(iter(pairs[:1]))
+    assert len(gen) == 1
     assert len(batched) == 3
     for p, got in zip(pairs, batched):
         one = m.match(p["kp0"], p["desc0"], p["kp1"], p["desc1"],
                       p["score0"], p["score1"])
         for k in one:
             np.testing.assert_array_equal(got[k], one[k], err_msg=k)
+            assert got[k].base is None, f"{k} is a view into the batch"
