@@ -314,6 +314,150 @@ def convert_pth_state_dict(sd: Dict[str, Any], config,
     return params, state
 
 
+# ---------------------------------------------------------------------------
+# torch .pth export (the exact inverse of the conversion above)
+# ---------------------------------------------------------------------------
+
+def _export_conv(p, prefix: str, out, dtype):
+    """Dense kernel [in, out] -> 1x1 ``Conv1d`` weight [out, in, 1]."""
+    out[f"{prefix}.weight"] = np.asarray(p["w"], dtype).T[:, :, None]
+    out[f"{prefix}.bias"] = np.asarray(p["b"], dtype)
+
+
+def _export_mlp(params, state, prefix: str, out, dtype):
+    """Inverse of ``_convert_mlp``: one reference MLP stack (conv at
+    sequential index 3*i, BN at 3*i+1 on every non-last layer)."""
+    for i, pos in enumerate(_conv_positions(len(params) + 1)):
+        _export_conv(params[i]["lin"], f"{prefix}.{pos}", out, dtype)
+        if "bn" in params[i]:
+            out[f"{prefix}.{pos + 1}.weight"] = np.asarray(
+                params[i]["bn"]["scale"], dtype)
+            out[f"{prefix}.{pos + 1}.bias"] = np.asarray(
+                params[i]["bn"]["bias"], dtype)
+            out[f"{prefix}.{pos + 1}.running_mean"] = np.asarray(
+                state[i]["mean"], dtype)
+            out[f"{prefix}.{pos + 1}.running_var"] = np.asarray(
+                state[i]["var"], dtype)
+            # we do not track batch counts (irrelevant with torch's
+            # default exponential-momentum BN); 0 keeps strict loads happy
+            out[f"{prefix}.{pos + 1}.num_batches_tracked"] = np.asarray(
+                0, np.int64)
+
+
+def _export_conv2d_stack(params, state, conv_prefix: str, bn_prefix: str,
+                         out, dtype):
+    """Inverse of ``_convert_conv2d_stack``: PointNet++ Conv2d(1x1)+BN2d
+    stacks (BN on EVERY layer) — kernels [in, out] -> [out, in, 1, 1]."""
+    for j, layer in enumerate(params):
+        out[f"{conv_prefix}.{j}.weight"] = np.asarray(
+            layer["lin"]["w"], dtype).T[:, :, None, None]
+        out[f"{conv_prefix}.{j}.bias"] = np.asarray(layer["lin"]["b"], dtype)
+        out[f"{bn_prefix}.{j}.weight"] = np.asarray(
+            layer["bn"]["scale"], dtype)
+        out[f"{bn_prefix}.{j}.bias"] = np.asarray(layer["bn"]["bias"], dtype)
+        out[f"{bn_prefix}.{j}.running_mean"] = np.asarray(
+            state[j]["mean"], dtype)
+        out[f"{bn_prefix}.{j}.running_var"] = np.asarray(
+            state[j]["var"], dtype)
+        out[f"{bn_prefix}.{j}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _export_pointnet_encoder(params, state, config, out, dtype):
+    """Inverse of ``_convert_pointnet_encoder`` (``penc.*`` prefixes)."""
+    for i, (p, s) in enumerate(zip(params["sa1"], state["sa1"])):
+        _export_conv2d_stack(p, s, f"penc.sa1.conv_blocks.{i}",
+                             f"penc.sa1.bn_blocks.{i}", out, dtype)
+    _export_conv2d_stack(params["sa2"], state["sa2"], "penc.sa2.mlp_convs",
+                         "penc.sa2.mlp_bns", out, dtype)
+    if config.net != "superglue":  # MDGAT variant: fused kenc + output MLP
+        _export_mlp(params["mlp"], state["mlp"], "penc.mlp", out, dtype)
+        _export_mlp(params["kenc"]["mlp"], state["kenc"]["mlp"],
+                    "penc.kenc.encoder", out, dtype)
+
+
+def export_pth_state_dict(params, bn_state, config, dtype=np.float32,
+                          module_prefix: bool = True) -> Dict[str, np.ndarray]:
+    """Our (params, bn_state) pytrees -> a reference torch ``state_dict``
+    (numpy values; the exact inverse of ``convert_pth_state_dict``).
+
+    ``module_prefix=True`` emits the ``module.``-prefixed keys the
+    reference's own checkpoints carry (it loads AFTER the unconditional
+    ``DataParallel`` wrap, ``train.py:196,203`` / ``test.py:158-159``), so
+    the exported file drops into the reference's resume/eval unchanged.
+    ``num_batches_tracked`` is emitted as 0 (we don't track it; torch's
+    default momentum-BN never reads it).
+    """
+    out: Dict[str, np.ndarray] = {}
+    if config.descriptor in ("FPFH", "FPFH_gloabal"):
+        _export_mlp(params["kenc"]["mlp"], bn_state["kenc"]["mlp"],
+                    "kenc.encoder", out, dtype)
+    if config.descriptor in ("FPFH", "FPFH_only"):
+        _export_mlp(params["denc"]["mlp"], bn_state["denc"]["mlp"],
+                    "denc.encoder", out, dtype)
+    elif config.descriptor == "FPFH_gloabal":
+        _export_mlp(params["denc"]["mlp"], bn_state["denc"]["mlp"],
+                    "denc.encoder", out, dtype)
+        _export_mlp(params["denc"]["mlp2"], bn_state["denc"]["mlp2"],
+                    "denc.encoder2", out, dtype)
+    elif config.descriptor in ("pointnet", "pointnetmsg"):
+        _export_pointnet_encoder(params["penc"], bn_state["penc"], config,
+                                 out, dtype)
+        if config.net == "superglue":
+            # constructed-but-unused companions (superglue.py:345-360)
+            _export_mlp(params["kenc"]["mlp"], bn_state["kenc"]["mlp"],
+                        "kenc.encoder", out, dtype)
+            _export_mlp(params["denc"]["mlp"], bn_state["denc"]["mlp"],
+                        "denc.encoder", out, dtype)
+
+    for i, (layer, lstate) in enumerate(zip(params["gnn"],
+                                            bn_state["gnn"])):
+        pre = f"gnn.layers.{i}"
+        for j, name in enumerate(("q", "k", "v")):
+            _export_conv(layer["attn"][name], f"{pre}.attn.proj.{j}", out,
+                         dtype)
+        _export_conv(layer["attn"]["merge"], f"{pre}.attn.merge", out, dtype)
+        _export_mlp(layer["mlp"], lstate["mlp"], f"{pre}.mlp", out, dtype)
+
+    _export_conv(params["final_proj"], "final_proj", out, dtype)
+    out["bin_score"] = np.asarray(params["bin_score"], dtype).reshape(())
+    if module_prefix:
+        out = {f"module.{k}": v for k, v in out.items()}
+    return out
+
+
+def save_pth_checkpoint(path: str, params, bn_state, config,
+                        epoch: int = 0, lr: float = 0.0, loss: float = 0.0,
+                        dtype=np.float32, module_prefix: bool = True):
+    """Write a reference-compatible ``.pth`` training checkpoint — the
+    five logical fields the reference saves (``train.py:288-294``), with
+    ``net`` from :func:`export_pth_state_dict`. The reference's resume
+    reads only ``net``/``lr_schedule``/``loss`` (``train.py:160-163,203``);
+    ``optimizer`` is emitted in ``torch.optim.Adam.state_dict()`` shape
+    with empty per-parameter state (it never restores moments — it builds
+    a fresh Adam at the checkpointed lr)."""
+    import torch  # local import: torch is only needed for .pth IO
+    sd = export_pth_state_dict(params, bn_state, config, dtype=dtype,
+                               module_prefix=module_prefix)
+    net = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+           sd.items()}
+    checkpoint = {
+        "net": net,
+        "optimizer": {
+            "state": {},
+            "param_groups": [{
+                "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
+                "weight_decay": 0, "amsgrad": False,
+                "params": list(range(len(net))),
+            }],
+        },
+        "epoch": epoch,
+        "lr_schedule": lr,
+        "loss": loss,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(checkpoint, path)
+
+
 def load_pth_checkpoint(path: str, config, dtype=np.float64):
     """Load a reference ``.pth`` training checkpoint
     (``{net, optimizer, epoch, lr_schedule, loss}``, ``train.py:288-294``)."""

@@ -201,3 +201,84 @@ def test_flat_tree_roundtrip_with_lists():
     assert isinstance(back["a"], list) and len(back["a"]) == 2
     np.testing.assert_array_equal(back["a"][1]["x"], np.zeros(3))
     np.testing.assert_array_equal(back["b"]["c"], np.arange(4))
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: native pytrees -> reference .pth
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("descriptor,net", [
+    ("FPFH", "mdgat"), ("FPFH_only", "mdgat"), ("FPFH_gloabal", "mdgat"),
+    ("pointnet", "mdgat"), ("pointnet", "superglue"),
+    ("pointnetmsg", "mdgat"),
+])
+def test_pth_export_inverts_conversion(descriptor, net):
+    """export_pth_state_dict is the exact inverse of convert_pth_state_dict:
+    same key set as the reference state_dict (module.-prefixed, incl.
+    num_batches_tracked) and bit-identical f32 values (f32 -> f64 convert
+    -> f32 export is lossless)."""
+    from mdgat_tpu.core.checkpoint import export_pth_state_dict
+    cfg = tiny_cfg(descriptor=descriptor, net=net,
+                   k=None if net == "superglue" else (8, None, 4, None))
+    sd = torch_ref.make_state_dict(cfg, seed=7)
+    params, state = convert_pth_state_dict(sd, cfg)
+    out = export_pth_state_dict(params, state, cfg)
+    ref = {k: np.asarray(v) for k, v in sd.items()}
+    assert set(out) == set(ref)
+    for k, v in ref.items():
+        assert out[k].shape == v.shape, k
+        if k.endswith("num_batches_tracked"):
+            continue  # we don't track it; exported as 0 by contract
+        assert out[k].dtype == np.float32, k
+        np.testing.assert_array_equal(out[k], v.astype(np.float32),
+                                      err_msg=k)
+
+
+def test_pth_export_file_roundtrip(tmp_path):
+    """save_pth_checkpoint -> load_pth_checkpoint restores the exact
+    pytrees and the reference's resume-visible meta fields
+    (net/lr_schedule/loss + epoch, train.py:160-163,288-294)."""
+    from mdgat_tpu.core.checkpoint import save_pth_checkpoint
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(3))
+    path = str(tmp_path / "export.pth")
+    save_pth_checkpoint(path, jax.device_get(params), jax.device_get(state),
+                        cfg, epoch=5, lr=3e-5, loss=0.42)
+    p2, s2, meta = load_pth_checkpoint(path, cfg)
+    assert meta == {"epoch": 5, "lr_schedule": 3e-5, "loss": 0.42}
+    fa, fb = tree_to_flat(params), tree_to_flat(p2)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(
+            np.asarray(fa[k], np.float32), np.asarray(fb[k], np.float32),
+            err_msg=k)
+    sa, sb = tree_to_flat(state), tree_to_flat(s2)
+    assert set(sa) == set(sb)
+    for k in sa:
+        if sa[k] is None or (np.asarray(sa[k]).dtype.kind == "U"):
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(sa[k], np.float32), np.asarray(sb[k], np.float32),
+            err_msg=k)
+
+
+def test_pth_export_feeds_torch_oracle():
+    """The exported state dict drives the independent torch oracle to the
+    same OT scores as our model with the original params — proving the
+    exported file is semantically a reference checkpoint, not just
+    key-compatible."""
+    from mdgat_tpu.core.checkpoint import export_pth_state_dict
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(9))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_pth_state_dict(jax.device_get(params),
+                                jax.device_get(state), cfg,
+                                dtype=np.float64).items()}
+    batch = tiny_batch(cfg, b=2, n=16, m=16, seed=10)
+    ref = torch_ref.t_forward_scores(sd, cfg, batch, train=False)
+    out, _ = model.apply(params, state, batch, train=False,
+                         return_full_scores=True)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref,
+                               rtol=1e-5, atol=1e-6)
