@@ -216,9 +216,15 @@ def setup_jax(cfg: Config, args=None):
               f"{len(jax.devices())} global devices")
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.jax_cache" if __import__("os").access(
-                          "/root", __import__("os").W_OK) else "/tmp/.jax_cache")
+    import os
+    if (jax.config.jax_platforms or "").startswith("cpu"):
+        # CPU AOT cache entries are ISA-specific — key the dir by host
+        from mdgat_tpu.core.platform import machine_keyed_cache_dir
+        cache = machine_keyed_cache_dir()
+    else:
+        cache = ("/root/.jax_cache" if os.access("/root", os.W_OK)
+                 else "/tmp/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
     if args is not None and getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
     if args is not None and getattr(args, "trace_dir", ""):

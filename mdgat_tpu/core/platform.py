@@ -23,3 +23,29 @@ def force_platform(platform: str) -> None:
     jax.config.update("jax_platforms", platform)
     from jax.extend.backend import clear_backends
     clear_backends()
+
+
+def machine_keyed_cache_dir(base: str = None) -> str:
+    """Persistent-compile-cache dir keyed by the host CPU's feature set.
+
+    XLA:CPU AOT cache entries encode ISA features the default cache key
+    does not: an entry written on one machine type loads on another with
+    a "could lead to SIGILL" warning (observed ahead of the round-2
+    dryrun abort, and again when the driver moved hosts mid-round 3).
+    Every CPU-backend call site must key its cache dir by the host, so a
+    machine change gets a fresh dir instead of a possibly-poisoned
+    artifact. TPU-backend caches stay unkeyed — their executables do not
+    encode host ISA features, and warm TPU caches are expensive to lose.
+    """
+    import hashlib
+    import os
+    if base is None:
+        base = "/root" if os.access("/root", os.W_OK) else "/tmp"
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        import platform as _platform
+        sig = _platform.processor()
+    tag = hashlib.sha256(sig.encode()).hexdigest()[:10]
+    return f"{base}/.jax_cache_cpu_{tag}"

@@ -25,7 +25,11 @@ from mdgat_tpu.core.platform import force_platform  # noqa: E402
 force_platform("cpu")
 
 jax.config.update("jax_enable_x64", True)
-# single-core box: persistent compile cache makes repeat test runs cheap
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+# single-core box: persistent compile cache makes repeat test runs cheap.
+# Machine-keyed dir: CPU AOT entries are ISA-specific, and the driver has
+# moved this repo across host types mid-round (SIGILL-risk warnings).
+from mdgat_tpu.core.platform import machine_keyed_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_keyed_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 

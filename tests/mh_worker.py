@@ -24,7 +24,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the box presets axon
 jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+from mdgat_tpu.core.platform import machine_keyed_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", machine_keyed_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 
