@@ -217,7 +217,8 @@ def setup_jax(cfg: Config, args=None):
     if cfg.compute_dtype == "float64":
         jax.config.update("jax_enable_x64", True)
     import os
-    if (jax.config.jax_platforms or "").startswith("cpu"):
+    from mdgat_tpu.core.platform import backend_is_cpu
+    if backend_is_cpu():
         # CPU AOT cache entries are ISA-specific — key the dir by host
         from mdgat_tpu.core.platform import machine_keyed_cache_dir
         cache = machine_keyed_cache_dir()

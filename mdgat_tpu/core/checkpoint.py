@@ -381,11 +381,13 @@ def export_pth_state_dict(params, bn_state, config, dtype=np.float32,
     (numpy values; the exact inverse of ``convert_pth_state_dict``).
 
     ``module_prefix=True`` emits the ``module.``-prefixed keys the
-    reference's own checkpoints carry (it loads AFTER the unconditional
-    ``DataParallel`` wrap, ``train.py:196,203`` / ``test.py:158-159``), so
-    the exported file drops into the reference's resume/eval unchanged.
-    ``num_batches_tracked`` is emitted as 0 (we don't track it; torch's
-    default momentum-BN never reads it).
+    reference's own checkpoints carry: its eval wraps in ``DataParallel``
+    unconditionally (``test.py:158-159``) and its train resume wraps
+    whenever CUDA is available (``train.py:190-203``) — i.e. everywhere
+    its own checkpoints are produced and consumed. For a CPU-only
+    reference ``train.py`` resume (bare, unwrapped net) pass
+    ``module_prefix=False``. ``num_batches_tracked`` is emitted as 0 (we
+    don't track it; torch's default momentum-BN never reads it).
     """
     out: Dict[str, np.ndarray] = {}
     if config.descriptor in ("FPFH", "FPFH_gloabal"):
@@ -408,6 +410,11 @@ def export_pth_state_dict(params, bn_state, config, dtype=np.float32,
                         "kenc.encoder", out, dtype)
             _export_mlp(params["denc"]["mlp"], bn_state["denc"]["mlp"],
                         "denc.encoder", out, dtype)
+    elif config.descriptor != "FPFH":
+        # no branch read anything — exporting would silently produce a
+        # file missing every encoder weight (note the reference's sic
+        # spelling "FPFH_gloabal")
+        raise ValueError(f"unknown descriptor {config.descriptor!r}")
 
     for i, (layer, lstate) in enumerate(zip(params["gnn"],
                                             bn_state["gnn"])):
@@ -434,12 +441,16 @@ def save_pth_checkpoint(path: str, params, bn_state, config,
     reads only ``net``/``lr_schedule``/``loss`` (``train.py:160-163,203``);
     ``optimizer`` is emitted in ``torch.optim.Adam.state_dict()`` shape
     with empty per-parameter state (it never restores moments — it builds
-    a fresh Adam at the checkpointed lr)."""
+    a fresh Adam at the checkpointed lr). The param_group lists only the
+    trainable-parameter indices (BN running stats/counters are buffers,
+    not Adam params), matching a genuine Adam state_dict."""
     import torch  # local import: torch is only needed for .pth IO
     sd = export_pth_state_dict(params, bn_state, config, dtype=dtype,
                                module_prefix=module_prefix)
     net = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
            sd.items()}
+    n_trainable = sum(1 for k in net if not k.endswith(
+        ("running_mean", "running_var", "num_batches_tracked")))
     checkpoint = {
         "net": net,
         "optimizer": {
@@ -447,7 +458,7 @@ def save_pth_checkpoint(path: str, params, bn_state, config,
             "param_groups": [{
                 "lr": lr, "betas": (0.9, 0.999), "eps": 1e-8,
                 "weight_decay": 0, "amsgrad": False,
-                "params": list(range(len(net))),
+                "params": list(range(n_trainable)),
             }],
         },
         "epoch": epoch,

@@ -25,6 +25,23 @@ def force_platform(platform: str) -> None:
     clear_backends()
 
 
+def backend_is_cpu() -> bool:
+    """True when jitted programs will compile for the CPU backend.
+
+    When ``jax_platforms`` is configured (the axon site hook, or
+    :func:`force_platform`) the first entry decides without touching any
+    backend. When it is UNSET (a plain box with no accelerator plugin),
+    resolve via ``jax.default_backend()`` — an unset string is NOT
+    evidence of a non-CPU backend, and mistaking it for one would write
+    ISA-specific CPU AOT entries into the shared unkeyed cache dir.
+    """
+    import jax
+    plats = jax.config.jax_platforms
+    if plats:
+        return plats.split(",")[0].strip() == "cpu"
+    return jax.default_backend() == "cpu"
+
+
 def machine_keyed_cache_dir(base: str = None) -> str:
     """Persistent-compile-cache dir keyed by the host CPU's feature set.
 
@@ -39,13 +56,19 @@ def machine_keyed_cache_dir(base: str = None) -> str:
     """
     import hashlib
     import os
+    import platform as _platform
     if base is None:
         base = "/root" if os.access("/root", os.W_OK) else "/tmp"
+    # x86 cpuinfo lists ISA extensions under "flags", aarch64 under
+    # "Features" — an empty signature would collapse all hosts of an
+    # architecture into one tag, recreating the cross-ISA poisoning
+    sig = ""
     try:
         with open("/proc/cpuinfo") as f:
-            sig = next((ln for ln in f if ln.startswith("flags")), "")
+            sig = next((ln for ln in f
+                        if ln.startswith(("flags", "Features"))), "")
     except OSError:
-        import platform as _platform
-        sig = _platform.processor()
+        pass
+    sig = f"{_platform.machine()}|{sig or _platform.processor()}"
     tag = hashlib.sha256(sig.encode()).hexdigest()[:10]
     return f"{base}/.jax_cache_cpu_{tag}"

@@ -282,3 +282,33 @@ def test_pth_export_feeds_torch_oracle():
                          return_full_scores=True)
     np.testing.assert_allclose(np.asarray(out["scores"]), ref,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pth_export_rejects_unknown_descriptor():
+    """A misspelled descriptor must raise, not silently write a .pth
+    missing every encoder weight (the repo uses the reference's sic
+    spelling 'FPFH_gloabal' — 'FPFH_global' is the natural typo)."""
+    from mdgat_tpu.core.checkpoint import export_pth_state_dict
+    cfg = tiny_cfg().replace(descriptor="FPFH_global")
+    with pytest.raises(ValueError, match="unknown descriptor"):
+        export_pth_state_dict({}, {}, cfg)
+
+
+def test_pth_export_optimizer_param_group_counts_trainables(tmp_path):
+    """The exported Adam param_group indexes only trainable params —
+    BN running stats/counters are buffers, and a consumer doing the
+    standard optimizer.load_state_dict would reject an oversized group."""
+    from mdgat_tpu.core.checkpoint import save_pth_checkpoint
+    cfg = tiny_cfg()
+    model = MDGAT(cfg)
+    params, state = model.init(jax.random.PRNGKey(4))
+    path = str(tmp_path / "opt.pth")
+    save_pth_checkpoint(path, jax.device_get(params), jax.device_get(state),
+                        cfg, lr=1e-4)
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    n_trainable = sum(1 for k in raw["net"] if not k.endswith(
+        ("running_mean", "running_var", "num_batches_tracked")))
+    assert n_trainable < len(raw["net"])  # BN buffers exist and are excluded
+    group = raw["optimizer"]["param_groups"][0]
+    assert group["params"] == list(range(n_trainable))
+    assert group["lr"] == 1e-4

@@ -2,20 +2,27 @@
 """Export a native ``.npz`` checkpoint as a reference-compatible ``.pth``.
 
 The reverse of the built-in ``.pth`` converter: the output drops into the
-PyTorch reference's own resume/eval unchanged (``module.``-prefixed
-``net`` state dict + the ``optimizer/epoch/lr_schedule/loss`` fields its
-resume reads, ``train.py:160-163,203,288-294``). Architecture flags must
-match the checkpoint, exactly as the reference CLIs re-declare them.
+PyTorch reference's eval and its GPU-side resume unchanged
+(``module.``-prefixed ``net`` state dict — the reference wraps in
+DataParallel unconditionally in eval, ``test.py:158-159``, and whenever
+CUDA is available in train, ``train.py:190-203`` — plus the
+``optimizer/epoch/lr_schedule/loss`` fields its resume reads,
+``train.py:160-163,288-294``). For a CPU-only reference ``train.py``
+resume (bare, unwrapped net) pass ``--no_module_prefix``. Architecture
+flags must match the checkpoint, exactly as the reference CLIs
+re-declare them.
 
     python tools/export_pth.py ck.npz out.pth --descriptor FPFH --l 9
 """
 
 import argparse
+import os
 import sys
 
 
 def main(argv=None):
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from mdgat_tpu.cli import _parse_k
     from mdgat_tpu.core.checkpoint import load_checkpoint, save_pth_checkpoint
     from mdgat_tpu.core.config import test_defaults
@@ -24,14 +31,16 @@ def main(argv=None):
     ap.add_argument("npz", help="native .npz checkpoint (core/checkpoint.py)")
     ap.add_argument("pth", help="output .pth path")
     ap.add_argument("--net", default="mdgat", choices=["mdgat", "superglue"])
-    ap.add_argument("--descriptor", default="FPFH")
+    ap.add_argument("--descriptor", default="FPFH",
+                    choices=["FPFH", "FPFH_gloabal", "FPFH_only",
+                             "pointnet", "pointnetmsg"])
     ap.add_argument("--k", type=_parse_k,
                     default=[128, None, 128, None, 64, None, 64, None])
     ap.add_argument("--l", type=int, default=9)
     ap.add_argument("--no_module_prefix", action="store_true",
                     help="omit the DataParallel 'module.' key prefix "
-                         "(the reference loads AFTER wrapping, so the "
-                         "prefix is the default)")
+                         "(needed only for a CPU-only reference train.py "
+                         "resume, where the net is never wrapped)")
     args = ap.parse_args(argv)
 
     cfg = test_defaults().replace(net=args.net, descriptor=args.descriptor,
