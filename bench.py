@@ -199,6 +199,14 @@ def main():
             "vs_baseline": None,
             "error": "axon TPU relay unreachable (connection refused); "
                      "benchmark could not run",
+            # context, NOT a measurement from this run: the most recent
+            # successful run of THIS benchmark on the real chip
+            # (docs/DESIGN.md perf progression; 2026-08-17, pre the
+            # still-unmeasured k-ary/deferred-norm forward reductions)
+            "last_successful_run": {
+                "value": 8414.0, "unit": "pairs/s", "date": "2026-08-17",
+                "note": "see BENCH_r02.json and docs/DESIGN.md",
+            },
         }))
         return
     tpu_pps, extra = bench_tpu()
