@@ -39,13 +39,20 @@ class Matcher:
     ``compute_dtype="bfloat16"``. Architecture fields must match the
     checkpoint (as in the reference, where the eval CLI re-declares
     them, ``test.py:137-151``).
+
+    Multi-device serving: pass ``data_parallel=N`` (and optionally
+    ``seq_parallel=M``) to dispatch ``match_batch`` batches over a device
+    mesh through the same runtime the eval CLIs use; ``shard_map=True``
+    forces the explicit per-shard-kernel path. Batches pad to a multiple
+    of the data axis with duplicate rows (trimmed from the results), so
+    results stay element-wise identical to single-device calls.
     """
 
     def __init__(self, checkpoint: Optional[str] = None, *,
                  params=None, bn_state=None, **overrides):
         import jax
         from mdgat_tpu.models import build_model
-        from mdgat_tpu.train.loop import make_eval_step
+        from mdgat_tpu.parallel import make_eval_runtime
 
         self.cfg: Config = test_defaults().replace(**overrides)
         self.model = build_model(self.cfg)
@@ -66,7 +73,19 @@ class Matcher:
             raise ValueError(
                 "pass a checkpoint path or BOTH params and bn_state")
         self.params, self.bn_state = params, bn_state
-        self._step = make_eval_step(self.model)  # caches per shape bucket
+        # Serving executor: the same mesh-aware runtime the eval CLIs use.
+        # With the default config (data_parallel=1, seq_parallel=1) this
+        # is a plain jitted step cached per shape bucket; pass
+        # data_parallel=N / seq_parallel=M (+ shard_map=True to force the
+        # explicit per-shard-kernel path) to serve batches over a device
+        # mesh. self._mesh_b is the data-axis size every dispatched batch
+        # must be a multiple of — match_batch pads with duplicate rows
+        # and trims.
+        self._mesh_b = max(self.cfg.data_parallel or 1, 1)
+        (self._step, self.params, self.bn_state,
+         self._shard_inputs) = make_eval_runtime(
+            self.model, self.cfg, self.params, self.bn_state,
+            batch_size=self._mesh_b)
 
     # ------------------------------------------------------------------
     def _pad_cloud(self, kp, desc, score, dt):
@@ -138,6 +157,13 @@ class Matcher:
                     d[:n] /= np.maximum(nrm, 1e-12)
             padded.append((k0, d0, s0, m0, n0, k1, d1, s1, m1, n1))
 
+        # mesh alignment: the shard_map path splits the batch axis over
+        # the data mesh axis, so pad to a multiple with duplicate rows
+        # (trimmed from the results below)
+        n_real = len(padded)
+        fill = (-n_real) % self._mesh_b
+        padded.extend([padded[-1]] * fill)
+
         # shared per-side buckets: re-pad each cloud to the batch max
         t0 = max(x[0].shape[0] for x in padded)
         t1 = max(x[5].shape[0] for x in padded)
@@ -159,6 +185,8 @@ class Matcher:
             "scores1": np.stack([grow(x[7], t1) for x in padded]),
             "mask1": np.stack([grow(x[8], t1) for x in padded]),
         }
+        if self._shard_inputs is not None:
+            batch = self._shard_inputs(batch)
         out = self._step(self.params, self.bn_state, batch)
         # distinct names from the m0/s0 mask/score loop variables above;
         # .copy() so a retained per-pair result doesn't pin the whole
@@ -172,7 +200,7 @@ class Matcher:
             "matches1": ma1[b, : x[9]].copy(),
             "matching_scores0": msc0[b, : x[4]].copy(),
             "matching_scores1": msc1[b, : x[9]].copy(),
-        } for b, x in enumerate(padded)]
+        } for b, x in enumerate(padded[:n_real])]
 
     def register(self, kp0, desc0, kp1, desc1, score0=None, score1=None,
                  normalize: bool = True, min_matches: int = 4,

@@ -168,3 +168,36 @@ def test_match_batch_equals_per_pair(tiny_ckpt):
         for k in one:
             np.testing.assert_array_equal(got[k], one[k], err_msg=k)
             assert got[k].base is None, f"{k} is a view into the batch"
+
+
+def test_match_batch_on_device_mesh(tiny_ckpt):
+    """Matcher(data_parallel=4, seq_parallel=2, shard_map=True) serves
+    batches through the eval CLIs' mesh runtime: results element-wise
+    identical to the single-device Matcher, including a pair count NOT
+    divisible by the data axis (exercises the duplicate-row fill) and
+    mixed per-side buckets."""
+    path, *_ = tiny_ckpt
+    rng = np.random.default_rng(31)
+
+    def mk(n):
+        return dict(
+            kp0=rng.normal(size=(n, 3)) * 10,
+            desc0=rng.normal(size=(n, 33)),
+            score0=rng.uniform(10, 30, (n,)),
+            kp1=rng.normal(size=(n + 40, 3)) * 10,
+            desc1=rng.normal(size=(n + 40, 33)),
+            score1=rng.uniform(10, 30, (n + 40,)),
+        )
+
+    pairs = [mk(50), mk(130), mk(64)]  # 3 % 4 != 0 -> one fill row
+    single = Matcher(path, **TINY)
+    meshed = Matcher(path, **TINY, data_parallel=4, seq_parallel=2,
+                     shard_map=True)
+    assert meshed._shard_inputs is not None, "mesh runtime not engaged"
+    ref = single.match_batch(pairs)
+    got = meshed.match_batch(pairs)
+    assert len(got) == len(ref) == 3
+    for r, g in zip(ref, got):
+        for k in r:
+            np.testing.assert_allclose(g[k], r[k], rtol=1e-9, atol=1e-12,
+                                       err_msg=k)
