@@ -215,10 +215,28 @@ class Matcher:
         ``n_matches``, ``inliers`` (matches within ``inlier_radius`` of
         their counterpart after applying T).
         """
-        from mdgat_tpu.eval.metrics import np_kabsch
-
         out = self.match(kp0, desc0, kp1, desc1, score0, score1,
                          normalize=normalize)
+        return self._pose_fit(out, kp0, kp1, min_matches, inlier_radius)
+
+    def register_batch(self, pairs, normalize: bool = True,
+                       min_matches: int = 4, inlier_radius: float = 1.0):
+        """:meth:`register` over many pairs with the matching done in ONE
+        batched device dispatch (:meth:`match_batch`); the SVD pose fits
+        are cheap host numpy. Returns a list of :meth:`register` dicts."""
+        pairs = list(pairs)
+        outs = self.match_batch(pairs, normalize=normalize)
+        return [self._pose_fit(out, p["kp0"], p["kp1"], min_matches,
+                               inlier_radius)
+                for p, out in zip(pairs, outs)]
+
+    @staticmethod
+    def _pose_fit(out: Dict, kp0, kp1, min_matches: int,
+                  inlier_radius: float) -> Dict:
+        """Extend a match dict with the SVD pose fit (shared by
+        :meth:`register` / :meth:`register_batch`)."""
+        from mdgat_tpu.eval.metrics import np_kabsch
+
         valid = out["matches0"] >= 0
         out["n_matches"] = int(valid.sum())
         if out["n_matches"] < max(min_matches, 3):  # SVD needs >= 3

@@ -201,3 +201,28 @@ def test_match_batch_on_device_mesh(tiny_ckpt):
         for k in r:
             np.testing.assert_allclose(g[k], r[k], rtol=1e-9, atol=1e-12,
                                        err_msg=k)
+
+
+def test_register_batch_equals_per_pair(tiny_ckpt):
+    """register_batch == per-pair register() exactly (same matches via
+    the batched dispatch, same host SVD glue), incl. T/None and inlier
+    counts."""
+    path, *_ = tiny_ckpt
+    m = Matcher(path, **TINY)
+    ps = [_pair(40, seed=11), _pair(90, seed=12)]
+    pairs = [dict(kp0=p["kp0"], desc0=p["desc0"], kp1=p["kp1"],
+                  desc1=p["desc1"], score0=p["score0"], score1=p["score1"])
+             for p in ps]
+    batched = m.register_batch(pairs)
+    assert len(batched) == 2
+    for p, got in zip(pairs, batched):
+        one = m.register(**p)
+        assert got["n_matches"] == one["n_matches"]
+        assert got["inliers"] == one["inliers"]
+        if one["T"] is None:
+            assert got["T"] is None
+        else:
+            np.testing.assert_array_equal(got["T"], one["T"])
+        for k in ("matches0", "matches1", "matching_scores0",
+                  "matching_scores1"):
+            np.testing.assert_array_equal(got[k], one[k], err_msg=k)
