@@ -42,6 +42,30 @@ _BISECT_ITERS_FAST = 14
 # real-chip A/B (or a Mosaic toolchain regression on the packed int32
 # ops) is a one-line flip, not a git-stash dance.
 _KARY_SELECT = True
+# Count-accumulator dtype for the fast-path selection sweeps (chip A/B
+# gate). The pre-k-ary binary bisection accumulated its compare counts
+# in F32 — the form Mosaic fuses into one compare+reduce VPU pass; the
+# k-ary rework moved counts to packed INT32 (3 x 10-bit fields), and the
+# first post-relay chip numbers regressed ~11% with BOTH the k-ary and
+# the restored-binary selectors slow (tools/probe_selection_ab.py), i.e.
+# the regression tracks the int32 count switch, not the arity. True
+# packs TWO counts into the f32 mantissa instead (exact while
+# 2*ceil(log2(M+1)) <= 24): ternary selection, 9 fused passes for the
+# binary path's 14-pass resolution, no integer ops in the sweep.
+_PACK_F32 = True
+# Softmax-epilogue variant (module gate, same A/B rationale as above —
+# the first post-relay chip numbers REGRESSED ~11% vs the last measured
+# pre-epilogue-change build, so each form must be chip-timed):
+#   "deferred_where": e = exp(where(keep, s - mx, BIG_NEG)); callers
+#       scale the post-matmul [N, Dh] output by 1/denom.
+#   "deferred_mul":   e = exp(s - mx) * keep, same deferred scaling
+#       (does the select lower worse than the multiply?).
+#   "legacy_norm":    e = exp(s - mx) * keep, p = e/denom normalized
+#       over the full [R, M] slab in-kernel, inv returned as ones — the
+#       last chip-measured-fast epilogue (pre-0179cde/66fd0e8).
+# All three are bit-compatible on kept rows up to one f32 rounding
+# reassociation (unit-tested); lse/thr residuals identical.
+_EPILOGUE = "deferred_where"
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 # Backward blocking budget: live [N, M] f32 temporaries per head iteration
 # (s, p, dp, ds + slack) x block_b elements must fit. Swept on the real
@@ -215,31 +239,50 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
         m_sz = s.shape[1]
         bits = max(int(np.ceil(np.log2(m_sz + 1))), 1)
-        n_mid = (min(3, 31 // bits)
-                 if (_KARY_SELECT and bits <= 15) else 1)
+        if _PACK_F32:
+            # float packing: two bits-wide counts as c1 + c2 * 2^bits in
+            # the f32 mantissa — exact while 2 * bits <= 24 (integers up
+            # to 2^24 are exactly representable; worst case
+            # M + M * 2^bits = 2^(2*bits) - 1). Ternary selection with
+            # the compare+mul-add+reduce staying entirely in f32, the
+            # form Mosaic fuses into one VPU pass.
+            n_mid = 2 if (_KARY_SELECT and 2 * bits <= 24) else 1
+        else:
+            n_mid = (min(3, 31 // bits)
+                     if (_KARY_SELECT and bits <= 15) else 1)
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
         iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))
+        cdt = dt if _PACK_F32 else jnp.int32
 
         def fbisect(_, carry):
             lo, hi = carry
             span = hi - lo
             mids = [lo + ((j + 1) / (n_mid + 1)) * span
                     for j in range(n_mid)]
-            packed = (s >= mids[0]).astype(jnp.int32)
+            packed = (s >= mids[0]).astype(cdt)
             for j in range(1, n_mid):
-                packed = packed + ((s >= mids[j]).astype(jnp.int32)
+                packed = packed + ((s >= mids[j]).astype(cdt)
                                    * (base ** j))
-            cnt = jnp.sum(packed, axis=1, keepdims=True, dtype=jnp.int32)
+            cnt = jnp.sum(packed, axis=1, keepdims=True, dtype=cdt)
             # ascending override: the LARGEST midpoint with count >= k
             # becomes lo (counts are monotone nonincreasing in j).
-            # Nonnegative counts: unpack with logical shifts + masks
-            # (plainer Mosaic lowering than signed div/mod)
+            # Nonnegative counts: int32 unpacks with logical shifts +
+            # masks (plainer Mosaic lowering than signed div/mod); f32
+            # unpacks with an exact power-of-2 divide + floor.
             new_lo, new_hi = lo, mids[0]
+            fields = []
+            if _PACK_F32 and n_mid == 2:
+                c2 = jnp.floor(cnt * (1.0 / base))
+                fields = [cnt - c2 * base, c2]
+            elif _PACK_F32:
+                fields = [cnt]
+            else:
+                for j in range(n_mid):
+                    fields.append(jax.lax.shift_right_logical(
+                        cnt, np.int32(j * bits)) & np.int32(base - 1))
             for j in range(n_mid):
-                field = jax.lax.shift_right_logical(
-                    cnt, np.int32(j * bits)) & np.int32(base - 1)
-                tj = field >= topk
+                tj = fields[j] >= topk
                 new_lo = jnp.where(tj, mids[j], new_lo)
                 new_hi = jnp.where(tj,
                                    hi if j == n_mid - 1 else mids[j + 1],
@@ -258,17 +301,30 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
     # the row max is always in the kept set (k >= 1 and ties keep it), so
     # the softmax max equals the PRE-search interval top — no
-    # post-selection max pass over the slab. exp(BIG_NEG) == 0 exactly,
-    # so the where() also zeroes dropped entries (all-masked rows: mx is
-    # the sentinel and keep is empty, every entry exponentiates BIG_NEG).
-    e = jnp.exp(jnp.where(keep, s - mx, neg))
+    # post-selection max pass over the slab (all variants below).
+    if _EPILOGUE == "deferred_where":
+        # exp(BIG_NEG) == 0 exactly, so the where() also zeroes dropped
+        # entries (all-masked rows: mx is the sentinel and keep is empty,
+        # every entry exponentiates BIG_NEG).
+        e = jnp.exp(jnp.where(keep, s - mx, neg))
+    else:
+        # multiply form: s <= mx for every entry (mx IS the row max), so
+        # exp(s - mx) <= 1 never overflows; dropped/masked entries zero
+        # via the keep multiply (all-masked rows: s == mx == sentinel,
+        # exp(0) * 0 == 0).
+        e = jnp.exp(s - mx) * keep.astype(dt)
     # any row with a kept entry has denom >= 1 (its max exponentiates to
     # exactly 1), so the floor only guards ALL-masked rows — and it must
     # be a NORMAL f32 (1e-38 is subnormal: TPU flush-to-zero turns it
     # into 0, making inv = inf and the zero attention output 0*inf = NaN)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
                         jnp.asarray(1e-30, dt))
-    return e, 1.0 / denom, thr, mx + jnp.log(denom)
+    lse = mx + jnp.log(denom)
+    if _EPILOGUE == "legacy_norm":
+        # normalize over the full [R, M] slab in-kernel; inv is ones so
+        # callers' post-matmul scaling is a no-op (identical plumbing).
+        return e / denom, jnp.ones((s.shape[0], 1), dt), thr, lse
+    return e, 1.0 / denom, thr, lse
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,

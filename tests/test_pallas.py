@@ -551,3 +551,121 @@ def test_kary_select_gate_matches_binary(monkeypatch):
     np.testing.assert_allclose(pb, pk, atol=1e-6)
     assert not np.asarray(outs[True]["fast"][0])[5].any()  # all-masked row
     assert (pk[5] == 0).all()
+
+
+def test_epilogue_gate_variants_agree(monkeypatch):
+    """The three ``_EPILOGUE`` softmax-epilogue variants (chip A/B gate)
+    must produce the same probabilities ``e * inv`` to one f32 rounding
+    reassociation, identical kept sets, identical thr/lse residuals, and
+    exact zeros on all-masked rows — fast, exact, and dense-masked
+    (topk=0) branches."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(11)
+    s = np.asarray(rng.normal(size=(4 * 2 * 16, 48)) * 5, np.float32)
+    s[7, :] = 1.25  # all-ties row
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False  # all-masked row
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+
+    outs = {}
+    for mode in ("deferred_where", "deferred_mul", "legacy_norm"):
+        monkeypatch.setattr(A, "_EPILOGUE", mode)
+        outs[mode] = {
+            "fast": A._stacked_prob(sj, vj, topk=8, exact=False,
+                                    has_mask=True),
+            "exact": A._stacked_prob(sj, vj, topk=8, exact=True,
+                                     has_mask=True),
+            "dense": A._stacked_prob(sj, vj, topk=0, exact=False,
+                                     has_mask=True),
+        }
+    ref = outs["deferred_where"]
+    for mode in ("deferred_mul", "legacy_norm"):
+        for br in ("fast", "exact", "dense"):
+            e0, i0, t0, l0 = (np.asarray(x) for x in ref[br])
+            e1, i1, t1, l1 = (np.asarray(x) for x in outs[mode][br])
+            p0, p1 = e0 * i0, e1 * i1
+            assert np.isfinite(p0).all() and np.isfinite(p1).all()
+            np.testing.assert_array_equal(p0 > 0, p1 > 0)  # same kept set
+            np.testing.assert_allclose(p0, p1, atol=1e-6)
+            np.testing.assert_array_equal(t0, t1)   # thr identical
+            np.testing.assert_allclose(l0, l1, rtol=1e-6)  # lse residual
+            assert (p1[5] == 0).all()               # all-masked row zeros
+            # kept rows normalize to 1 (denom floor only guards row 5)
+            rows = np.delete(np.arange(p1.shape[0]), 5)
+            np.testing.assert_allclose(p1[rows].sum(1), 1.0, rtol=1e-5)
+
+
+def test_pack_f32_gate_matches_int(monkeypatch):
+    """``_PACK_F32`` flips the fast path between f32-mantissa-packed
+    ternary and int32-packed quaternary selection. Both must keep a
+    superset of the true top-k with the same near-tie slack scale: same
+    kept sets on random (tie-free at range/2^14) scores, probabilities to
+    f32 noise, all-masked rows zero. The exact path takes no part in the
+    gate (int32 key space) and must be bit-identical."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(17)
+    s = np.asarray(rng.normal(size=(4 * 2 * 16, 48)) * 5, np.float32)
+    s[7, :] = 1.25  # all-ties row
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False  # all-masked row
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+
+    outs = {}
+    for gate in (False, True):
+        monkeypatch.setattr(A, "_PACK_F32", gate)
+        outs[gate] = {
+            "fast": A._stacked_prob(sj, vj, topk=8, exact=False,
+                                    has_mask=True),
+            "exact": A._stacked_prob(sj, vj, topk=8, exact=True,
+                                     has_mask=True),
+        }
+    for part in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(outs[False]["exact"][part]),
+            np.asarray(outs[True]["exact"][part]))
+    pi = np.asarray(outs[False]["fast"][0]) * np.asarray(outs[False]["fast"][1])
+    pf = np.asarray(outs[True]["fast"][0]) * np.asarray(outs[True]["fast"][1])
+    assert np.isfinite(pi).all() and np.isfinite(pf).all()
+    np.testing.assert_array_equal(pi > 0, pf > 0)
+    np.testing.assert_allclose(pi, pf, atol=1e-6)
+    assert (pf[5] == 0).all()
+    # ties row: every entry kept, uniform weights under both gates
+    np.testing.assert_allclose(pf[7][np.asarray(valid)[7]],
+                               1.0 / valid[7].sum(), rtol=1e-6)
+
+
+def test_pack_f32_fast_selection_fuzz():
+    """Numpy fuzz of the f32-packed ternary selector invariant: the kept
+    set always contains the true top-k (lo converges from below), under
+    random scales/offsets and adversarial near-tie rows."""
+    import mdgat_tpu.ops.pallas.attention as A
+    assert A._PACK_F32 and A._KARY_SELECT  # defaults under test
+
+    rng = np.random.default_rng(23)
+    for trial in range(200):
+        m = int(rng.integers(9, 200))
+        k = int(rng.integers(1, min(m, 12)))
+        scale = 10.0 ** rng.uniform(-3, 3)
+        row = (rng.normal(size=(1, m)) * scale
+               + rng.uniform(-1e3, 1e3)).astype(np.float32)
+        if trial % 5 == 0:  # near-tie cluster at the k-th value
+            row[0, : k + 3] = row[0, 0]
+        valid = np.ones_like(row, bool)
+        e, inv, thr, _ = A._stacked_prob(
+            jnp.asarray(row), jnp.asarray(valid), topk=k, exact=False,
+            has_mask=False)
+        # the selection invariant: lo only ever moves to a candidate
+        # whose measured count >= k, so the final threshold never
+        # exceeds the true k-th value and keep = s >= lo is a superset
+        # of the top-k. (NOT testable via e > 0: entries far below the
+        # row max legitimately underflow exp() to exactly 0 at large
+        # score scales.)
+        kth = np.sort(row[0])[::-1][k - 1]
+        assert float(np.asarray(thr)[0, 0]) <= kth, (trial, m, k)
+        kept = row[0] >= float(np.asarray(thr)[0, 0])
+        true_topk = np.argsort(row[0])[::-1][:k]
+        assert kept[true_topk].all(), (trial, m, k)
