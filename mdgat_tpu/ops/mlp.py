@@ -20,6 +20,7 @@ Parameters are explicit pytrees:
 
 from __future__ import annotations
 
+import contextvars
 import math
 from typing import List, Optional, Sequence, Tuple
 
@@ -36,8 +37,11 @@ BN_MOMENTUM = 0.1
 # DataParallel replicas each saw the full gathered stats only because the
 # reference ran BN on gathered activations). The axis name is trace-time
 # state set by the model's apply() — signatures stay unchanged; the stat
-# reductions below psum over it when set.
-_BN_AXIS: list = [None]
+# reductions below psum over it when set. A ContextVar (not a module
+# global) so concurrent traces — e.g. EvalPipeline's worker threads —
+# can't cross-contaminate each other's axis.
+_BN_AXIS: contextvars.ContextVar = contextvars.ContextVar(
+    "mdgat_bn_axis", default=None)
 
 
 class bn_cross_replica:
@@ -48,18 +52,17 @@ class bn_cross_replica:
         self.axis_name = axis_name
 
     def __enter__(self):
-        self.prev = _BN_AXIS[0]
-        _BN_AXIS[0] = self.axis_name
+        self._token = _BN_AXIS.set(self.axis_name)
         return self
 
     def __exit__(self, *exc):
-        _BN_AXIS[0] = self.prev
+        _BN_AXIS.reset(self._token)
         return False
 
 
 def bn_axis_name():
     """The active cross-replica BN axis (None outside shard_map)."""
-    return _BN_AXIS[0]
+    return _BN_AXIS.get()
 
 
 # ---------------------------------------------------------------------------

@@ -114,11 +114,18 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
     neg = jnp.asarray(BIG_NEG, dt)
 
     if topk == 0 and not has_mask:
+        # dense unmasked rows have no keep set, so the deferred_where /
+        # deferred_mul arms coincide (no select/multiply pass); only the
+        # legacy_norm arm differs — honor it so the A/B probe measures
+        # the whole forward.
         mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
         denom = jnp.sum(e, axis=1, keepdims=True)
-        return (e, 1.0 / denom, jnp.full((s.shape[0], 1), neg, dt),
-                mx + jnp.log(denom))
+        thr = jnp.full((s.shape[0], 1), neg, dt)
+        lse = mx + jnp.log(denom)
+        if _EPILOGUE == "legacy_norm":
+            return e / denom, jnp.ones((s.shape[0], 1), dt), thr, lse
+        return e, 1.0 / denom, thr, lse
 
     if topk > 0 and exact:
         # EXACT k-th value by integer binary search on monotone keys.
@@ -217,16 +224,19 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         # entry's (agreement quantified in DESIGN.md / test_pallas).
         #
         # k-ary: each iteration counts SEVERAL midpoints in ONE traversal
-        # of the score slab — the counts are <= M, so up to three
-        # ceil(log2(M+1))-bit counts pack exactly into one int32 per row
-        # and a single fused compare+pack+reduce pass yields all of them
-        # (the sweeps are VMEM-bandwidth-bound, so one traversal with 3
-        # compares costs ~one with 1). Quaternary (3 midpoints) holds
-        # through M <= 1023 (3 x 10-bit fields; worst-case sum
-        # 1023*(1 + 2^10 + 2^20) = 2^30 - 1, exactly inside int32) and
-        # needs 7 passes for the binary path's 14-pass resolution;
-        # ternary (M <= 32767, 11-15-bit fields) needs 9; wider M falls
-        # back to binary.
+        # of the score slab — the counts are <= M, so several
+        # ceil(log2(M+1))-bit counts pack exactly into one accumulator
+        # per row and a single fused compare+pack+reduce pass yields all
+        # of them (the sweeps are VMEM-bandwidth-bound, so one traversal
+        # with 3 compares costs ~one with 1). The DEFAULT scheme is the
+        # ``_PACK_F32`` f32-mantissa packing (ternary, M <= 4095, 9
+        # passes — see the gate comment at the top of the module); the
+        # figures below describe the ``_PACK_F32=False`` int32 arm:
+        # quaternary (3 midpoints) holds through M <= 1023 (3 x 10-bit
+        # fields; worst-case sum 1023*(1 + 2^10 + 2^20) = 2^30 - 1,
+        # exactly inside int32) and needs 7 passes for the binary path's
+        # 14-pass resolution; ternary (M <= 32767, 11-15-bit fields)
+        # needs 9; wider M falls back to binary.
         # NB: routing the count through the MXU as a ones-matvec was
         # measured SLOWER (9.66 vs 8.05 ms/step eval) — Mosaic already
         # fuses the compare+reduce into one VPU pass.
@@ -253,7 +263,10 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
         iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))
-        cdt = dt if _PACK_F32 else jnp.int32
+        # counts are pinned f32 on the packed-float path (NOT the score
+        # dtype: the 2*bits <= 24 bound above is the f32 mantissa — a
+        # bf16/f16 score dtype would silently corrupt packed counts)
+        cdt = jnp.float32 if _PACK_F32 else jnp.int32
 
         def fbisect(_, carry):
             lo, hi = carry

@@ -579,10 +579,21 @@ def test_epilogue_gate_variants_agree(monkeypatch):
                                      has_mask=True),
             "dense": A._stacked_prob(sj, vj, topk=0, exact=False,
                                      has_mask=True),
+            # dense UNMASKED early return — also routed through the gate
+            # (where/mul coincide there; legacy_norm normalizes in-branch)
+            "dense_nomask": A._stacked_prob(sj, None, topk=0, exact=False,
+                                            has_mask=False),
         }
     ref = outs["deferred_where"]
     for mode in ("deferred_mul", "legacy_norm"):
-        for br in ("fast", "exact", "dense"):
+        for br in ("fast", "exact", "dense", "dense_nomask"):
+            if br == "dense_nomask":
+                e0, i0, _, l0 = (np.asarray(x) for x in ref[br])
+                e1, i1, _, l1 = (np.asarray(x) for x in outs[mode][br])
+                np.testing.assert_allclose(e0 * i0, e1 * i1, atol=1e-6)
+                np.testing.assert_allclose(l0, l1, rtol=1e-6)
+                np.testing.assert_allclose((e1 * i1).sum(1), 1.0, rtol=1e-5)
+                continue
             e0, i0, t0, l0 = (np.asarray(x) for x in ref[br])
             e1, i1, t1, l1 = (np.asarray(x) for x in outs[mode][br])
             p0, p1 = e0 * i0, e1 * i1
@@ -638,12 +649,17 @@ def test_pack_f32_gate_matches_int(monkeypatch):
                                1.0 / valid[7].sum(), rtol=1e-6)
 
 
-def test_pack_f32_fast_selection_fuzz():
+def test_pack_f32_fast_selection_fuzz(monkeypatch):
     """Numpy fuzz of the f32-packed ternary selector invariant: the kept
     set always contains the true top-k (lo converges from below), under
-    random scales/offsets and adversarial near-tie rows."""
+    random scales/offsets and adversarial near-tie rows.
+
+    The gates are monkeypatched True (not asserted as defaults) so a
+    post-chip-A/B default flip tests the arm this test is about instead
+    of failing the suite."""
     import mdgat_tpu.ops.pallas.attention as A
-    assert A._PACK_F32 and A._KARY_SELECT  # defaults under test
+    monkeypatch.setattr(A, "_PACK_F32", True)
+    monkeypatch.setattr(A, "_KARY_SELECT", True)
 
     rng = np.random.default_rng(23)
     for trial in range(200):

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Generic interleaved A/B probe over a module gate in
+``mdgat_tpu.ops.pallas.attention``.
+
+Usage: probe_gate_ab.py GATE VALUE [VALUE ...] [--train]
+
+Times the eval forward at the bench config (batch 64, N 256) — and,
+with ``--train``, the train step at the reference config (batch 64,
+N 512, bf16 + remat) — per gate value, interleaved in one process so
+the arms share tunnel conditions. Values are parsed as Python literals
+(True/False/'str'). The module gate retraces fresh jit closures per
+arm; no git state involved. Timing per the axon recipe (enqueue K, one
+readback, subtract RTT).
+
+Supersedes the one-off probe_selection_ab / probe_epilogue_ab scripts
+for future gates.
+"""
+
+import ast
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K_ENQ = 30
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    argv = [a for a in sys.argv[1:] if a != "--train"]
+    do_train = "--train" in sys.argv[1:]
+    gate, raw_values = argv[0], argv[1:]
+    values = []
+    for v in raw_values:
+        try:
+            values.append(ast.literal_eval(v))
+        except (ValueError, SyntaxError):
+            values.append(v)          # bare string, e.g. deferred_where
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/.jax_bench_cache")
+    import __graft_entry__ as g
+    import mdgat_tpu.ops.pallas.attention as A
+    from mdgat_tpu.train import create_train_state, make_train_step
+
+    assert hasattr(A, gate), f"no gate {gate!r} in pallas.attention"
+
+    tiny = jax.jit(lambda v: v + 1)
+    _ = np.asarray(tiny(jax.numpy.ones(())))
+    rtts = []
+    for _ in range(5):
+        t0 = time.time()
+        _ = np.asarray(tiny(jax.numpy.ones(())))
+        rtts.append(time.time() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    log(f"rtt {rtt * 1e3:.1f} ms")
+
+    results = {}
+    for rep in range(2):              # interleave arms to cancel drift
+        for val in values:
+            setattr(A, gate, val)
+            tag = str(val)
+
+            model, params, state, data = g._flagship(
+                compute_dtype="bfloat16", batch=64, n=256)
+
+            def forward(p, s, b):
+                out, _ = model.apply(p, s, b, train=False)
+                return out["matches0"], out["loss"]
+
+            jfn = jax.jit(forward)
+            _ = np.asarray(jfn(params, state, data)[1].astype("float32"))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                for _ in range(K_ENQ):
+                    out = jfn(params, state, data)
+                _ = np.asarray(out[1].astype("float32"))
+                best = min(best, time.time() - t0 - rtt)
+            ev = best / K_ENQ
+            log(f"[rep{rep}] eval  {gate}={tag}: {ev * 1e3:.2f} ms/step "
+                f"({64 / ev:.0f} pairs/s)")
+
+            tr = float("nan")
+            if do_train:
+                tmodel, _, _, tdata = g._flagship(
+                    compute_dtype="bfloat16", param_dtype="float32",
+                    n=512, batch=64, remat_gnn=True, scan_gnn_pairs=False)
+                ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0),
+                                            1e-4)
+                tstep = make_train_step(tmodel, tx, donate=False)
+                ts, mtr = tstep(ts, tdata)
+                _ = np.asarray(mtr["loss"])
+                t0 = time.time()
+                for _ in range(5):
+                    ts, mtr = tstep(ts, tdata)
+                _ = np.asarray(mtr["loss"])
+                tr = (time.time() - t0 - rtt) / 5
+                log(f"[rep{rep}] train {gate}={tag}: {tr * 1e3:.1f} ms/step "
+                    f"({64 / tr:.0f} pairs/s)")
+            results.setdefault(tag, []).append((ev, tr))
+
+    for tag, vals in results.items():
+        ev = min(v[0] for v in vals)
+        line = f"BEST {gate}={tag}: eval {ev * 1e3:.2f} ms ({64 / ev:.0f} pairs/s)"
+        if do_train:
+            tr = min(v[1] for v in vals)
+            line += f", train {tr * 1e3:.1f} ms ({64 / tr:.0f} pairs/s)"
+        log(line)
+
+
+if __name__ == "__main__":
+    main()
