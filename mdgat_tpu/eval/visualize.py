@@ -7,13 +7,16 @@ positives green / false positives red. Keypoints render as red spheres and
 match lines as cylinder meshes (Open3D line widths are unreliable, hence
 the cylinder trick — same approach as the reference's LineMesh).
 
-Open3D is an optional dependency (not required by train/eval); importing
-this module without it raises only when the plot function is called.
+The geometry ASSEMBLY (panel layout, line endpoints, per-line colors) is
+pure numpy (:func:`assemble_match_panels`) so it runs under headless
+pytest; only the rendering tail touches Open3D. Open3D is an optional
+dependency (not required by train/eval); importing this module without it
+raises only when the plot function is called.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -28,17 +31,74 @@ def _require_o3d():
         ) from e
 
 
-def _cylinder_lines(o3d, points, lines, colors, radius):
+def assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt,
+                          mkpts1_gt, matches, mconf, true_positive,
+                          false_positive, offset: float = 50.0
+                          ) -> List[Dict]:
+    """Pure-numpy layout of the three-panel comparison
+    (``utils/utils_test.py:149-296`` panel scheme).
+
+    Returns one dict per panel:
+      ``spheres0``/``spheres1``  [N,3]/[M,3] keypoint sphere centers
+      ``segments``               [K,2,3] match-line endpoints
+      ``colors``                 [K,3] per-line RGB
+      ``cloud``                  [P,3] background cloud or None
+
+    Cloud 1 sits ``offset/2`` above cloud 0 in y; panels stack at
+    ``2*offset`` intervals. Panel colors: (1) predictions shaded by
+    confidence blue->red, (2) GT green, (3) TP green / FP red.
+    """
+    kpts0 = np.asarray(kpts0, np.float64)
+    kpts1 = np.asarray(kpts1, np.float64)
+    matches = np.asarray(matches)
+    shift = np.array([0.0, offset, 0.0])
+
+    def panel(dy, pairs0, pairs1, colors):
+        off = np.array([0.0, dy, 0.0])
+        pairs0 = np.asarray(pairs0, np.float64).reshape(-1, 3)
+        pairs1 = np.asarray(pairs1, np.float64).reshape(-1, 3)
+        k = len(pairs0)
+        segments = np.stack([pairs0 + off, pairs1 + off + shift / 2],
+                            axis=1) if k else np.zeros((0, 2, 3))
+        colors = np.asarray(colors, np.float64).reshape(-1, 3)
+        line_colors = (colors[np.arange(k) % len(colors)] if k
+                       else np.zeros((0, 3)))
+        cloud = (np.asarray(pc0, np.float64)[:, :3] + off
+                 if len(pc0) else None)
+        return {
+            "spheres0": kpts0 + off,
+            "spheres1": kpts1 + off + shift / 2,
+            "segments": segments,
+            "colors": line_colors,
+            "cloud": cloud,
+        }
+
+    # panel 1: predictions colored by confidence (blue->red)
+    conf_colors = [[float(c), 0.2, 1.0 - float(c)] for c in
+                   np.clip(np.asarray(mconf, np.float64), 0, 1)] or [[0, 0, 1]]
+    panels = [panel(0.0, mkpts0, mkpts1, conf_colors)]
+    # panel 2: ground truth in green
+    panels.append(panel(2 * offset, mkpts0_gt, mkpts1_gt, [[0, 1, 0]]))
+    # panel 3: TP green / FP red (every valid prediction gets a line)
+    tp_idx = np.nonzero(np.asarray(true_positive))[0]
+    valid_idx = np.nonzero(matches > -1)[0]
+    tp_set = set(tp_idx.tolist())
+    colors3 = [[0, 1, 0] if i in tp_set else [1, 0, 0] for i in valid_idx]
+    panels.append(panel(4 * offset, kpts0[valid_idx],
+                        kpts1[matches[valid_idx]], colors3 or [[1, 0, 0]]))
+    return panels
+
+
+def _cylinder_lines(o3d, segments, colors, radius):
     """Cylinder meshes along each line segment (LineMesh equivalent)."""
     meshes = []
-    for li, (a, b) in enumerate(lines):
-        p0, p1 = np.asarray(points[a]), np.asarray(points[b])
+    for li, (p0, p1) in enumerate(np.asarray(segments)):
         seg = p1 - p0
         length = float(np.linalg.norm(seg))
         if length < 1e-9:
             continue
         mesh = o3d.geometry.TriangleMesh.create_cylinder(radius, length)
-        mesh.paint_uniform_color(colors[li % len(colors)])
+        mesh.paint_uniform_color(colors[li])
         # rotate z-axis onto the segment direction
         z = np.array([0.0, 0.0, 1.0])
         d = seg / length
@@ -69,37 +129,19 @@ def plot_match(pc0, pc1, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt, mkpts1_gt,
                offset: float = 50.0):
     """Render the three-panel match comparison. Blocking Open3D window."""
     o3d = _require_o3d()
+    panels = assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1,
+                                   mkpts0_gt, mkpts1_gt, matches, mconf,
+                                   true_positive, false_positive, offset)
     geoms = []
-    shift = np.array([0.0, offset, 0.0])
-
-    def panel(dy, pairs0, pairs1, colors):
-        off = np.array([0.0, dy, 0.0])
-        g = []
-        g += _spheres(o3d, kpts0 + off, [1, 0, 0])
-        g += _spheres(o3d, kpts1 + off + shift / 2, [1, 0, 0])
-        pts = np.concatenate([pairs0 + off, pairs1 + off + shift / 2])
-        lines = [(i, i + len(pairs0)) for i in range(len(pairs0))]
-        g += _cylinder_lines(o3d, pts, lines, colors, line_radius)
-        if len(pc0):
+    for p in panels:
+        geoms += _spheres(o3d, p["spheres0"], [1, 0, 0])
+        geoms += _spheres(o3d, p["spheres1"], [1, 0, 0])
+        geoms += _cylinder_lines(o3d, p["segments"], p["colors"],
+                                 line_radius)
+        if p["cloud"] is not None:
             c = o3d.geometry.PointCloud()
-            c.points = o3d.utility.Vector3dVector(np.asarray(pc0)[:, :3] + off)
+            c.points = o3d.utility.Vector3dVector(p["cloud"])
             c.paint_uniform_color([0.7, 0.7, 0.7])
-            g.append(c)
-        return g
-
-    # panel 1: predictions colored by confidence (blue->red)
-    conf_colors = [[float(c), 0.2, 1.0 - float(c)] for c in
-                   np.clip(mconf, 0, 1)] or [[0, 0, 1]]
-    geoms += panel(0.0, mkpts0, mkpts1, conf_colors)
-    # panel 2: ground truth in green
-    geoms += panel(2 * offset, mkpts0_gt, mkpts1_gt, [[0, 1, 0]])
-    # panel 3: TP green / FP red
-    tp_idx = np.nonzero(np.asarray(true_positive))[0]
-    fp_idx = np.nonzero(np.asarray(false_positive))[0]
-    valid_idx = np.nonzero(matches > -1)[0]
-    tp_set = set(tp_idx.tolist())
-    colors3 = [[0, 1, 0] if i in tp_set else [1, 0, 0] for i in valid_idx]
-    geoms += panel(4 * offset, kpts0[valid_idx],
-                   kpts1[matches[valid_idx]], colors3 or [[1, 0, 0]])
+            geoms.append(c)
 
     o3d.visualization.draw_geometries(geoms)

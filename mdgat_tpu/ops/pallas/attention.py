@@ -53,6 +53,22 @@ _KARY_SELECT = True
 # 2*ceil(log2(M+1)) <= 24): ternary selection, 9 fused passes for the
 # binary path's 14-pass resolution, no integer ops in the sweep.
 _PACK_F32 = True
+# Midpoints per fast-path traversal on the _PACK_F32 path (chip A/B
+# gate): 2 = ternary, one packed-f32 accumulator (9 passes for the
+# binary path's 14-pass resolution); 4 = pentary, TWO accumulators built
+# in the same traversal (7 passes) — a win iff Mosaic fuses both
+# compare+mul-add+reduce chains into one slab read.
+_SEL_WIDTH = 2
+# Run the fast-path bisection compare sweeps on a bf16 cast of the score
+# slab (chip A/B gate): halves the bytes per traversal; the one-time
+# cast adds ~1.5 passes. Counts, threshold, and the final keep compare
+# all stay in bf16 space, so the kept set still contains the (bf16)
+# top-k; added near-tie slack is bf16 resolution — the same order as
+# the bf16 score-computation noise floor already measured at 99.9%
+# match agreement. CLAUDE.md warns this toolchain's Mosaic bf16
+# SCALAR/MATMUL paths are buggy; pure elementwise compares must be
+# chip-validated (test + probe) before this defaults on.
+_SWEEP_BF16 = False
 # Softmax-epilogue variant (module gate, same A/B rationale as above —
 # the first post-relay chip numbers REGRESSED ~11% vs the last measured
 # pre-epilogue-change build, so each form must be chip-timed):
@@ -255,8 +271,12 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
             # to 2^24 are exactly representable; worst case
             # M + M * 2^bits = 2^(2*bits) - 1). Ternary selection with
             # the compare+mul-add+reduce staying entirely in f32, the
-            # form Mosaic fuses into one VPU pass.
-            n_mid = 2 if (_KARY_SELECT and 2 * bits <= 24) else 1
+            # form Mosaic fuses into one VPU pass. _SEL_WIDTH=4 packs
+            # TWO such accumulators per traversal (pentary, 7 passes for
+            # the 14-pass binary resolution) — a win iff Mosaic fuses
+            # both compare+mul-add+reduce chains into one slab pass.
+            n_mid = (_SEL_WIDTH if (_KARY_SELECT and 2 * bits <= 24)
+                     else 1)
         else:
             n_mid = (min(3, 31 // bits)
                      if (_KARY_SELECT and bits <= 15) else 1)
@@ -267,33 +287,55 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         # dtype: the 2*bits <= 24 bound above is the f32 mantissa — a
         # bf16/f16 score dtype would silently corrupt packed counts)
         cdt = jnp.float32 if _PACK_F32 else jnp.int32
+        # optional bf16 compare space for the sweeps: halves the bytes
+        # each traversal reads. Counts, thresholds, and the FINAL keep
+        # compare all stay in the same rounded space, so the invariant
+        # (kept set contains the bf16-space top-k) is preserved; the
+        # added slack is bf16 resolution at the k-th value — the same
+        # order as the bf16 score-computation noise floor
+        # (tools/measure_topk_agreement.py).
+        if _SWEEP_BF16:
+            sweep_s = s.astype(jnp.bfloat16)
+            in_sweep = lambda x: x.astype(jnp.bfloat16)
+        else:
+            sweep_s = s
+            in_sweep = lambda x: x
 
         def fbisect(_, carry):
             lo, hi = carry
             span = hi - lo
             mids = [lo + ((j + 1) / (n_mid + 1)) * span
                     for j in range(n_mid)]
-            packed = (s >= mids[0]).astype(cdt)
-            for j in range(1, n_mid):
-                packed = packed + ((s >= mids[j]).astype(cdt)
-                                   * (base ** j))
-            cnt = jnp.sum(packed, axis=1, keepdims=True, dtype=cdt)
+            cmids = [in_sweep(mm_) for mm_ in mids]
             # ascending override: the LARGEST midpoint with count >= k
             # becomes lo (counts are monotone nonincreasing in j).
             # Nonnegative counts: int32 unpacks with logical shifts +
             # masks (plainer Mosaic lowering than signed div/mod); f32
             # unpacks with an exact power-of-2 divide + floor.
-            new_lo, new_hi = lo, mids[0]
             fields = []
-            if _PACK_F32 and n_mid == 2:
-                c2 = jnp.floor(cnt * (1.0 / base))
-                fields = [cnt - c2 * base, c2]
-            elif _PACK_F32:
-                fields = [cnt]
+            if _PACK_F32:
+                # one f32 accumulator per pair of midpoints
+                for g in range(0, n_mid, 2):
+                    p = (sweep_s >= cmids[g]).astype(cdt)
+                    if g + 1 < n_mid:
+                        p = p + ((sweep_s >= cmids[g + 1]).astype(cdt)
+                                 * base)
+                    cnt = jnp.sum(p, axis=1, keepdims=True, dtype=cdt)
+                    if g + 1 < n_mid:
+                        c2 = jnp.floor(cnt * (1.0 / base))
+                        fields += [cnt - c2 * base, c2]
+                    else:
+                        fields += [cnt]
             else:
+                packed = (sweep_s >= cmids[0]).astype(cdt)
+                for j in range(1, n_mid):
+                    packed = packed + ((sweep_s >= cmids[j]).astype(cdt)
+                                       * (base ** j))
+                cnt = jnp.sum(packed, axis=1, keepdims=True, dtype=cdt)
                 for j in range(n_mid):
                     fields.append(jax.lax.shift_right_logical(
                         cnt, np.int32(j * bits)) & np.int32(base - 1))
+            new_lo, new_hi = lo, mids[0]
             for j in range(n_mid):
                 tj = fields[j] >= topk
                 new_lo = jnp.where(tj, mids[j], new_lo)
@@ -305,7 +347,10 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
         mx = hi                            # pre-search row max (see below)
         lo, hi = jax.lax.fori_loop(0, iters, fbisect, (lo, hi),
                                    unroll=True)
-        keep = s >= lo
+        # the keep compare runs in the SAME space as the counts: a bf16
+        # sweep's lo is only guaranteed to keep >= k entries under the
+        # bf16 rounding used while counting
+        keep = sweep_s >= in_sweep(lo)
         thr = lo
     else:
         keep = valid & jnp.ones_like(s, bool)

@@ -178,6 +178,11 @@ def _fwd_from_prep(prepped, iters: int,
             jax.ShapeDtypeStruct((b, n, 1), dt),
             jax.ShapeDtypeStruct((b, 1, 1), dt),
         ],
+        # eb=1 at the N=1024 stretch config holds ~17 MB of [N,M] blocks —
+        # over the default VMEM cap but fine on this chip (the backward
+        # has run 21 MB programs; see probe_sinkhorn_eb/probe_sinkhorn_n1024)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=56 * 1024 * 1024),
         interpret=interpret,
     )(scalars, dense, log_mu, log_nu)
 

@@ -81,3 +81,16 @@ def test_native_all_filtered_frame_zero_fills(tmp_path):
     kp, score, desc, counts = loader.load([path])
     assert counts[0] == 0
     assert not kp.any() and not score.any() and not desc.any()
+
+
+def test_rebuild_from_source():
+    """The lazy g++ build must recreate the .so from loader.cc after the
+    binary is deleted (the build artifact is intentionally not in git)."""
+    import mdgat_tpu.native.loader as L
+    if os.path.exists(L._LIB):
+        os.remove(L._LIB)
+    L._lib = None
+    L._build_failed = False
+    lib = L._get_lib()
+    assert lib is not None
+    assert os.path.exists(L._LIB)

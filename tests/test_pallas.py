@@ -685,3 +685,106 @@ def test_pack_f32_fast_selection_fuzz(monkeypatch):
         kept = row[0] >= float(np.asarray(thr)[0, 0])
         true_topk = np.argsort(row[0])[::-1][:k]
         assert kept[true_topk].all(), (trial, m, k)
+
+
+def test_sel_width_gate_matches(monkeypatch):
+    """``_SEL_WIDTH=4`` (pentary, two packed-f32 accumulators per
+    traversal) must behave like the default ternary selector: kept set a
+    superset of the true top-k, same kept sets on tie-free scores,
+    probabilities to f32 noise, all-masked rows zero."""
+    import mdgat_tpu.ops.pallas.attention as A
+    monkeypatch.setattr(A, "_PACK_F32", True)
+    monkeypatch.setattr(A, "_KARY_SELECT", True)
+
+    rng = np.random.default_rng(29)
+    s = np.asarray(rng.normal(size=(4 * 2 * 16, 48)) * 5, np.float32)
+    s[7, :] = 1.25  # all-ties row
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False  # all-masked row
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+
+    outs = {}
+    for width in (2, 4):
+        monkeypatch.setattr(A, "_SEL_WIDTH", width)
+        outs[width] = A._stacked_prob(sj, vj, topk=8, exact=False,
+                                      has_mask=True)
+    p2 = np.asarray(outs[2][0]) * np.asarray(outs[2][1])
+    p4 = np.asarray(outs[4][0]) * np.asarray(outs[4][1])
+    assert np.isfinite(p2).all() and np.isfinite(p4).all()
+    np.testing.assert_array_equal(p2 > 0, p4 > 0)
+    np.testing.assert_allclose(p2, p4, atol=1e-6)
+    assert (p4[5] == 0).all()
+    # superset invariant per row on the pentary arm
+    thr = np.asarray(outs[4][2])[:, 0]
+    for r in range(s.shape[0]):
+        if not valid[r].any():
+            continue
+        vals = np.sort(sm[r][valid[r]])[::-1]
+        kth = vals[min(8, valid[r].sum()) - 1]
+        assert thr[r] <= kth + 1e-6
+
+
+def test_sel_width_fuzz(monkeypatch):
+    """Pentary selector invariant fuzz (mirrors the ternary fuzz)."""
+    import mdgat_tpu.ops.pallas.attention as A
+    monkeypatch.setattr(A, "_PACK_F32", True)
+    monkeypatch.setattr(A, "_KARY_SELECT", True)
+    monkeypatch.setattr(A, "_SEL_WIDTH", 4)
+
+    rng = np.random.default_rng(31)
+    for trial in range(120):
+        m = int(rng.integers(9, 200))
+        k = int(rng.integers(1, min(m, 12)))
+        scale = 10.0 ** rng.uniform(-3, 3)
+        row = (rng.normal(size=(1, m)) * scale
+               + rng.uniform(-1e3, 1e3)).astype(np.float32)
+        if trial % 5 == 0:
+            row[0, : k + 3] = row[0, 0]
+        e, inv, thr, _ = A._stacked_prob(
+            jnp.asarray(row), jnp.asarray(np.ones_like(row, bool)),
+            topk=k, exact=False, has_mask=False)
+        kth = np.sort(row[0])[::-1][k - 1]
+        assert float(np.asarray(thr)[0, 0]) <= kth, (trial, m, k)
+        kept = row[0] >= float(np.asarray(thr)[0, 0])
+        true_topk = np.argsort(row[0])[::-1][:k]
+        assert kept[true_topk].all(), (trial, m, k)
+
+
+def test_sweep_bf16_gate(monkeypatch):
+    """``_SWEEP_BF16``: compare sweeps in bf16 space. The kept set must
+    contain the bf16-space top-k (counts/threshold/keep share one rounded
+    space); kept rows stay normalized; all-masked rows zero."""
+    import mdgat_tpu.ops.pallas.attention as A
+    monkeypatch.setattr(A, "_PACK_F32", True)
+    monkeypatch.setattr(A, "_KARY_SELECT", True)
+    monkeypatch.setattr(A, "_SWEEP_BF16", True)
+
+    rng = np.random.default_rng(37)
+    s = np.asarray(rng.normal(size=(64, 96)) * 3, np.float32)
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    k = 8
+    e, inv, thr, lse = A._stacked_prob(
+        jnp.asarray(sm), jnp.asarray(valid), topk=k, exact=False,
+        has_mask=True)
+    p = np.asarray(e) * np.asarray(inv)
+    assert np.isfinite(p).all()
+    assert (p[5] == 0).all()
+    rows = np.delete(np.arange(64), 5)
+    np.testing.assert_allclose(p[rows].sum(1), 1.0, rtol=1e-5)
+    # bf16-space superset invariant: every bf16-top-k member is kept
+    sb = sm.astype(np.float32).astype(jnp.bfloat16).astype(np.float32)
+    thr_b = np.asarray(jnp.asarray(thr).astype(jnp.bfloat16)
+                       .astype(jnp.float32))[:, 0]
+    for r in rows:
+        nv = valid[r].sum()
+        if nv == 0:
+            continue
+        vals = np.sort(sb[r][valid[r]])[::-1]
+        kth = vals[min(k, nv) - 1]
+        assert thr_b[r] <= kth + 1e-6, r
+        kept = sb[r] >= thr_b[r]
+        # every entry at or above the bf16 k-th value is kept
+        assert ((sb[r] >= kth) & valid[r] <= kept).all(), r
