@@ -219,6 +219,117 @@ def pose_metrics(mkpts0: np.ndarray, mkpts1: np.ndarray, T_gt: np.ndarray,
     }
 
 
+def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt):
+    """One batched f64 Kabsch fit over padded [B, N] matches.
+
+    ``valid`` [B, N] selects the matched rows; the fit equals the
+    per-pair :func:`np_kabsch` on compacted arrays up to f64 summation
+    reassociation (weighted einsum vs compacted ``np.mean``/matmul).
+    Returns (T [B,4,4], inlier [B], rte [B], rre [B]); pairs with zero
+    matches get rte/rre = nan (the empty-match divergence documented in
+    README — the reference would crash there)."""
+    w = valid.astype(np.float64)
+    n_valid = w.sum(1)
+    nv = np.maximum(n_valid, 1.0)
+    g1 = np.take_along_axis(
+        kpts1, np.clip(matches, 0, kpts1.shape[1] - 1)[:, :, None],
+        axis=1)                                     # [B, N, 3]
+    up = (g1 * w[:, :, None]).sum(1) / nv[:, None]  # P centroid
+    uq = (kpts0 * w[:, :, None]).sum(1) / nv[:, None]
+    H = np.einsum("bn,bni,bnj->bij", w, kpts0 - uq[:, None],
+                  g1 - up[:, None])                 # (Q-uq)(P-up)^T
+    U, _, Vh = np.linalg.svd(H)
+    R = U @ Vh                                      # no det fix, like ref
+    t = uq - np.einsum("bij,bj->bi", R, up)
+    moved = np.einsum("bij,bnj->bni", R, g1) + t[:, None]
+    d = np.linalg.norm(moved - kpts0, axis=-1)
+    inlier = ((d < 1.0) & valid).sum(1)
+    b = matches.shape[0]
+    T = np.zeros((b, 4, 4))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = t
+    T[:, 3, 3] = 1.0
+    T_err = np.linalg.inv(T) @ np.asarray(T_gt, np.float64)
+    rte = np.linalg.norm(T_err[:, :3, 3], axis=-1)
+    f_theta = (T_err[:, 0, 0] + T_err[:, 1, 1] + T_err[:, 2, 2] - 1.0) / 2
+    with np.errstate(invalid="ignore"):
+        rre = np.arccos(f_theta)                    # unclamped, like ref
+    # <= 3 matches: the 3x3 covariance is rank-deficient, so the SVD null
+    # direction is ambiguous and f64 reassociation noise can flip the
+    # (reflection-unfixed) R between the batched and per-pair paths —
+    # recompute those rare pairs exactly like the per-pair np_kabsch.
+    # >= 4 matches the fit is generically full-rank and the two paths
+    # agree to print precision (fuzz-tested).
+    for i in np.nonzero((n_valid > 0) & (n_valid <= 3))[0]:
+        sel = valid[i]
+        pm = pose_metrics(kpts0[i][sel], g1[i][sel], np.asarray(T_gt[i]))
+        T[i] = pm["T"]
+        inlier[i] = pm["inlier"]
+        rte[i] = pm["trans_error"]
+        rre[i] = pm["rot_error"]
+    empty = n_valid == 0
+    rte = np.where(empty, np.nan, rte)
+    rre = np.where(empty, np.nan, rre)
+    return T, inlier, rte, rre
+
+
+def registration_batch_metrics(matches, gt0, kpts0, kpts1, mask0, mask1,
+                               T_gt=None, calculate_pose: bool = True):
+    """Vectorized per-batch metrics for the registration-recall protocol
+    (``test_registration_metric.py:238-256``): classification counts as
+    integer [B]-reductions (protocol="registration" definitions) plus the
+    shared batched pose fit. Returns [(mm, rte, rre)] in batch order;
+    rte/rre are None when ``calculate_pose`` is off."""
+    matches = np.asarray(matches)
+    gt0 = np.asarray(gt0)
+    mask0 = np.asarray(mask0, bool)
+    mask1 = np.asarray(mask1, bool)
+    kpts0 = np.asarray(kpts0, np.float64)
+    kpts1 = np.asarray(kpts1, np.float64)
+    b = matches.shape[0]
+
+    valid = (matches > -1) & mask0
+    valid_gt = (gt0 > -1) & mask0
+    tp = valid & (matches == gt0)
+    fp = valid & (matches != gt0)
+    tn = (~valid) & (~valid_gt) & mask0
+    fn = (~valid) & valid_gt
+    n = mask0.sum(1)
+    n_tp, n_fp, n_tn, n_fn = tp.sum(1), fp.sum(1), tn.sum(1), fn.sum(1)
+    n_valid, n_gt = valid.sum(1), valid_gt.sum(1)
+
+    rte = rre = [None] * b
+    if calculate_pose:
+        _, _, rte, rre = _batched_pose_fit(matches, kpts0, kpts1, valid,
+                                           T_gt)
+
+    out = []
+    for i in range(b):
+        nv_i, ng_i = int(n_valid[i]), int(n_gt[i])
+        mm = {
+            "n": int(n[i]),
+            "n_valid": nv_i,
+            "n_gt": ng_i,
+            "repeatability": ng_i / n[i] if n[i] else 0.0,
+            "precision": n_tp[i] / nv_i if nv_i > 0 else 0.0,
+            "recall": ((n_tp[i] / ng_i if ng_i else float("nan"))
+                       if nv_i > 0 else 0.0),
+            "accuracy": (n_tp[i] + n_tn[i]) / n[i] if n[i] else 0.0,
+            "matching_score": n_tp[i] / n[i] if n[i] else 0.0,
+            "tm": int(n_tp[i]),
+            "banned": ng_i < n[i] * 0.1,
+            "fm": int(n_fp[i]),
+            "fp_rate": (n_fp[i] / (n_fp[i] + n_tn[i])
+                        if (n_fp[i] + n_tn[i]) > 0 else float("nan")),
+            "tp_rate": (n_tp[i] / (n_tp[i] + n_fn[i])
+                        if (n_tp[i] + n_fn[i]) > 0 else float("nan")),
+        }
+        out.append((mm,
+                    float(rte[i]) if calculate_pose else None,
+                    float(rre[i]) if calculate_pose else None))
+    return out
+
+
 class TestEvalAccumulator:
     """The reference ``test.py`` per-pair accumulation protocol
     (``test.py:241-342``), factored out of the entry point so a unit test
@@ -288,6 +399,119 @@ class TestEvalAccumulator:
         a["tm"].append(mm["tm"])
         a["fm"].append(mm["fm"])
         return "ok", mm, pm
+
+    def update_batch(self, matches, gt0, kpts0, kpts1, mask0, mask1,
+                     T_gt=None, calculate_pose: bool = True):
+        """Vectorized :meth:`update_pair` over a PADDED batch.
+
+        Inputs are the padded [B, N] / [B, N, 3] arrays straight from the
+        eval pipeline (``mask0/1`` are the validity masks) — no per-pair
+        boolean compaction on the host. The classification counts are
+        integer reductions (bit-exact vs the per-pair path); the pose fits
+        run as ONE batched f64 3x3 SVD (``np.linalg.svd`` on [B,3,3]),
+        whose centroid/covariance summation order differs from the
+        per-pair compacted-array path by at most f64 reassociation noise
+        (asserted < 1e-9 relative and 3-decimal-print-identical in
+        ``tests/test_metrics.py``).
+
+        Returns the per-pair [(status, mm, pm)] list in batch order with
+        the exact :meth:`update_pair` accumulation semantics.
+        """
+        matches = np.asarray(matches)
+        gt0 = np.asarray(gt0)
+        mask0 = np.asarray(mask0, bool)
+        mask1 = np.asarray(mask1, bool)
+        kpts0 = np.asarray(kpts0, np.float64)
+        kpts1 = np.asarray(kpts1, np.float64)
+        b, n_pad = matches.shape
+
+        # ---- classification counts (integer, order-free => bit-exact) --
+        valid = (matches > -1) & mask0
+        valid_gt = (gt0 > -1) & mask0
+        tp = valid & (matches == gt0)
+        tn = (~valid) & (~valid_gt) & mask0
+        n = mask0.sum(1)
+        n_tp = tp.sum(1)
+        n_tn = tn.sum(1)
+        n_valid = valid.sum(1)
+        n_gt = valid_gt.sum(1)
+        n_fp_t = (valid & ~valid_gt).sum(1)
+        n_vg = (valid & valid_gt).sum(1)
+        n_no_gt = n - n_gt
+
+        # ---- batched pose fit (only consumed by unbanned pairs) --------
+        pms = [None] * b
+        if calculate_pose:
+            T, inlier, rte, rre = _batched_pose_fit(
+                matches, kpts0, kpts1, valid, T_gt)
+            for i in range(b):
+                pms[i] = {
+                    "T": T[i],
+                    "inlier": int(inlier[i]),
+                    "inlier_ratio": (inlier[i] / n_valid[i]
+                                     if n_valid[i] else 0.0),
+                    "trans_error": float(rte[i]),
+                    "rot_error": float(rre[i]),
+                }
+
+        # ---- sequential protocol (identical to update_pair) ------------
+        results = []
+        for i in range(b):
+            self.n_pairs += 1
+            nv_i, ng_i = int(n_valid[i]), int(n_gt[i])
+            mm = {
+                "n": int(n[i]),
+                "n_valid": nv_i,
+                "n_gt": ng_i,
+                "repeatability": ng_i / n[i] if n[i] else 0.0,
+                "precision": n_tp[i] / nv_i if nv_i > 0 else 0.0,
+                "recall": ((n_tp[i] / ng_i if ng_i else float("nan"))
+                           if nv_i > 0 else 0.0),
+                "accuracy": (n_tp[i] + n_tn[i]) / n[i] if n[i] else 0.0,
+                "matching_score": n_tp[i] / n[i] if n[i] else 0.0,
+                "tm": int(n_tp[i]),
+                "banned": ng_i < n[i] * 0.1,
+                "fm": int(n_fp_t[i]),
+                "fp_rate": (n_fp_t[i] / n_no_gt[i] if n_no_gt[i]
+                            else float("nan")),
+                "tp_rate": n_vg[i] / ng_i if ng_i else float("nan"),
+                "tp_rate2": n_tp[i] / ng_i if ng_i else float("nan"),
+            }
+            self.arrays["repeatability"].append(mm["repeatability"])
+            if mm["banned"]:
+                self.baned_data += 1
+                self.fail += 1
+                results.append(("banned", mm, None))
+                continue
+            if nv_i < 4:                          # test.py:272-274
+                self.fail += 1
+                results.append(("too_few", mm, None))
+                continue
+            if not calculate_pose:
+                results.append(("ok_nopose", mm, None))
+                continue
+            pm = pms[i]
+            if (pm["trans_error"] > 2 or pm["rot_error"] > 5
+                    or np.isnan(pm["trans_error"])
+                    or np.isnan(pm["rot_error"])):
+                self.fail += 1                    # test.py:296-298
+                results.append(("pose_fail", mm, pm))
+                continue
+            a = self.arrays
+            a["trans_error"].append(pm["trans_error"])
+            a["rot_error"].append(pm["rot_error"])
+            a["inlier"].append(pm["inlier"])
+            a["inlier_ratio"].append(pm["inlier_ratio"])
+            a["precision"].append(mm["precision"])
+            a["accuracy"].append(mm["accuracy"])
+            a["recall"].append(mm["recall"])
+            a["fp_rate"].append(mm["fp_rate"])
+            a["tp_rate"].append(mm["tp_rate"])
+            a["tp_rate2"].append(mm["tp_rate2"])
+            a["tm"].append(mm["tm"])
+            a["fm"].append(mm["fm"])
+            results.append(("ok", mm, pm))
+        return results
 
     def summary(self) -> Dict:
         mean = {k: (float(np.mean(v)) if v else float("nan"))

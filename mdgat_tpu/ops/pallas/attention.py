@@ -88,6 +88,16 @@ _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 # chip by tools/probe_mha_bwd_bb.py.
 _BWD_BB_BUDGET = 13 * 1024 * 1024
 _BWD_LIVE = 5
+# VMEM score-slab budgets for the forward/eval kernel blocking (chip A/B
+# gates: raising them admits wider _BLOCK_B slabs per program — the chip
+# accepts programs well past 13 MB, the question is whether wider slabs
+# measure faster). _FWD_BUDGET_FAST gates the fast-selection arms (live
+# x3), _FWD_BUDGET_EXACT the exact arms (live x5).
+_FWD_BUDGET_EXACT = 13 * 1024 * 1024
+_FWD_BUDGET_FAST = 26 * 1024 * 1024
+# whole-layer fused kernels keep more per-program state (weights + MLP
+# temporaries); separate budget, same A/B rationale
+_LAYER_BUDGET = 13 * 1024 * 1024
 
 _SIGN_FIX = np.int32(0x7FFFFFFF)  # numpy scalar: inlined as a literal
 
@@ -539,9 +549,9 @@ def pallas_topk_attention(q, k, v, topk: Optional[int],
     # buffers pipeline better with smaller blocks (measured: 3.5k at 13 MB
     # vs 3.1k at 45 MB for the eval config)
     if exact and topk:
-        budget, live = 13 * 1024 * 1024, 5
+        budget, live = _FWD_BUDGET_EXACT, 5
     else:
-        budget, live = 26 * 1024 * 1024, 3
+        budget, live = _FWD_BUDGET_FAST, 3
     bb, hh = _BLOCK_B, h
     while bb > 1 and live * bb * hh * n * m * 4 > budget:
         bb //= 2
@@ -743,7 +753,7 @@ def fused_layer_apply(layer_params, layer_state, x, source,
     # config runs (bb=1, nblk=512) instead of falling back to the unfused
     # path. All heads stay in-program (the merge epilogue needs them).
     live = 5 if (exact and topk) else 3
-    budget = 13 * 1024 * 1024
+    budget = _LAYER_BUDGET
     bb, nblk = _BLOCK_B, n
     while bb > 1 and live * bb * h * nblk * m * 4 > budget:
         bb //= 2
@@ -995,9 +1005,9 @@ def _mha_blocking(b, h, n, m, exact, topk, backward=False):
         # live [n, m] f32 temporaries per (b, h) head iteration
         budget, live, h = _BWD_BB_BUDGET, _BWD_LIVE, 1
     elif exact and topk:
-        budget, live = 13 * 1024 * 1024, 5
+        budget, live = _FWD_BUDGET_EXACT, 5
     else:
-        budget, live = 26 * 1024 * 1024, 3
+        budget, live = _FWD_BUDGET_FAST, 3
     bb = _BLOCK_B
     while bb > 1 and live * bb * h * n * m * 4 > budget:
         bb //= 2

@@ -92,20 +92,18 @@ def main():
     for batch, out in pipeline:
         gt_host = out
 
-        for b in range(len(batch["idx0"])):
-            mask = np.asarray(batch["mask0"][b])
-            mask1 = np.asarray(batch["mask1"][b])
-            kpts0 = np.asarray(batch["keypoints0"][b])[mask]
-            kpts1 = np.asarray(batch["keypoints1"][b])[mask1]
-            matches = np.asarray(out["matches0"][b])[mask]
-            conf = (np.asarray(out["matching_scores0"][b])[mask]
-                    if "matching_scores0" in out else None)
-            gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
-            idx = batch["idx0"][b]
+        # batched host post-processing: classification counts as integer
+        # [B]-reductions and ONE [B,3,3] SVD pose solve (bit-compatible
+        # with the per-pair path — tests/test_metrics.py), then the
+        # sequential per-pair print protocol below
+        results = acc.update_batch(
+            out["matches0"], gt_host["gt_matches0"],
+            batch["keypoints0"], batch["keypoints1"],
+            batch["mask0"], batch["mask1"], batch["T_gt"],
+            calculate_pose=args.calculate_pose)
 
-            status, mm, pm = acc.update_pair(
-                matches, gt0, kpts0, kpts1, batch["T_gt"][b],
-                calculate_pose=args.calculate_pose)
+        for b, (status, mm, pm) in enumerate(results):
+            idx = batch["idx0"][b]
             if status == "banned":
                 continue
             if status in ("too_few", "pose_fail"):
@@ -131,6 +129,13 @@ def main():
 
             if args.visualize:
                 from mdgat_tpu.eval.visualize import plot_match
+                mask = np.asarray(batch["mask0"][b])
+                mask1 = np.asarray(batch["mask1"][b])
+                kpts0 = np.asarray(batch["keypoints0"][b])[mask]
+                kpts1 = np.asarray(batch["keypoints1"][b])[mask1]
+                matches = np.asarray(out["matches0"][b])[mask]
+                conf = np.asarray(out["matching_scores0"][b])[mask]
+                gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
                 valid = matches > -1
                 mkpts0 = kpts0[valid]
                 mkpts1 = kpts1[matches[valid]]

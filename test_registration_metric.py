@@ -23,7 +23,7 @@ def main():
     import jax.numpy as jnp
     from mdgat_tpu.core.checkpoint import load_checkpoint, load_pth_checkpoint
     from mdgat_tpu.data import SparseDataset, prepare_batch_fn
-    from mdgat_tpu.eval import (AverageMeter, matching_metrics, pose_metrics,
+    from mdgat_tpu.eval import (AverageMeter, registration_batch_metrics,
                                 registration_summary)
     from mdgat_tpu.eval.runner import EvalPipeline
     from mdgat_tpu.models import build_model
@@ -84,17 +84,21 @@ def main():
     for batch, out in pipeline:
         gt_host = out
 
-        for b in range(len(batch["idx0"])):
+        # batched host post-processing (integer count reductions + one
+        # [B,3,3] SVD solve — bit-compatible with the per-pair path,
+        # tests/test_metrics.py); the sequential meter/print protocol of
+        # the reference stays below. Empty match sets give nan rte/rre
+        # (the reference crashes there; README divergence).
+        results = registration_batch_metrics(
+            out["matches0"], gt_host["gt_matches0"],
+            batch["keypoints0"], batch["keypoints1"],
+            batch["mask0"], batch["mask1"], batch["T_gt"],
+            calculate_pose=args.calculate_pose)
+
+        for b, (mm, rte, rre) in enumerate(results):
             n_pairs += 1
-            mask = np.asarray(batch["mask0"][b])
-            mask1 = np.asarray(batch["mask1"][b])
-            kpts0 = np.asarray(batch["keypoints0"][b])[mask]
-            kpts1 = np.asarray(batch["keypoints1"][b])[mask1]
-            matches = np.asarray(out["matches0"][b])[mask]
-            gt0 = np.asarray(gt_host["gt_matches0"][b])[mask]
             idx = batch["idx0"][b]
 
-            mm = matching_metrics(matches, gt0)
             if mm["banned"]:
                 baned_data += 1
                 continue
@@ -106,18 +110,6 @@ def main():
             meters["inlier"].update(mm["tm"])
 
             if args.calculate_pose:
-                valid = matches > -1
-                mkpts0 = kpts0[valid]
-                mkpts1 = kpts1[matches[valid]]
-                if len(mkpts0) == 0:
-                    # reference fits the pose unconditionally
-                    # (test_registration_metric.py:254-256) and would crash
-                    # on an empty match set (SVD of NaN means); treat it as
-                    # nan errors -> registration fail (README divergence)
-                    rte, rre = float("nan"), float("nan")
-                else:
-                    pm = pose_metrics(mkpts0, mkpts1, batch["T_gt"][b])
-                    rte, rre = pm["trans_error"], pm["rot_error"]
                 if rte < 2:
                     meters["rte"].update(rte)
                 if not np.isnan(rre) and rre < np.pi / 180 * 5:

@@ -432,3 +432,148 @@ def test_average_meter_history_merge_bit_identical():
     assert meters["b"].count == 2 * mb.count
     empty = AverageMeter.from_histories([AverageMeter().history_vector()])
     assert empty.count == 0 and empty.avg == 0.0
+
+
+def _random_padded_batch(rng, b=16, n=48):
+    """Padded batch with prefix masks, engineered to hit every status."""
+    mask0 = np.zeros((b, n), bool)
+    mask1 = np.zeros((b, n), bool)
+    kpts0 = rng.normal(size=(b, n, 3)) * 10
+    kpts1 = rng.normal(size=(b, n, 3)) * 10
+    matches = np.full((b, n), -1, np.int64)
+    gt = np.full((b, n), -1, np.int64)
+    T_gt = np.tile(np.eye(4), (b, 1, 1))
+    for i in range(b):
+        n0 = int(rng.integers(8, n + 1))
+        n1 = int(rng.integers(8, n + 1))
+        mask0[i, :n0] = True
+        mask1[i, :n1] = True
+        kind = i % 4
+        if kind == 0:                     # banned: almost no GT
+            gt[i, :1] = 0
+            matches[i, :n0] = rng.integers(-1, n1, n0)
+        elif kind == 1:                   # too few matches
+            gt[i, :n0] = rng.integers(-1, n1, n0)
+            matches[i, :3] = rng.integers(0, n1, 3)
+        else:                             # ok-ish: many planted matches
+            m = rng.integers(0, n1, n0)
+            gt[i, :n0] = np.where(rng.uniform(size=n0) < 0.8, m, -1)
+            matches[i, :n0] = np.where(rng.uniform(size=n0) < 0.85,
+                                       gt[i, :n0],
+                                       rng.integers(-1, n1, n0))
+            if kind == 2:                 # good pose: kpts1 = kpts0 copy
+                kpts1[i, :n1] = kpts0[i, :n1]
+                good = gt[i, :n0] > -1
+                kpts1[i][gt[i, :n0][good]] = kpts0[i, :n0][good]
+        # padded region must be ignored regardless of content
+        matches[i, n0:] = rng.integers(-1, n, n - n0)
+        gt[i, n0:] = rng.integers(-1, n, n - n0)
+    return matches, gt, kpts0, kpts1, mask0, mask1, T_gt
+
+
+@pytest.mark.parametrize("calculate_pose", [True, False])
+def test_update_batch_matches_update_pair(calculate_pose):
+    """The vectorized batch path == the per-pair path: identical statuses,
+    bit-identical classification metrics, pose values to f64
+    reassociation noise, identical accumulated state and summary."""
+    rng = np.random.default_rng(41)
+    matches, gt, kpts0, kpts1, mask0, mask1, T_gt = \
+        _random_padded_batch(rng)
+    b = matches.shape[0]
+
+    acc_ref = TestEvalAccumulator()
+    refs = []
+    for i in range(b):
+        m = matches[i][mask0[i]]
+        g = gt[i][mask0[i]]
+        k0 = kpts0[i][mask0[i]]
+        k1 = kpts1[i][mask1[i]]
+        refs.append(acc_ref.update_pair(m, g, k0, k1, T_gt[i],
+                                        calculate_pose=calculate_pose))
+
+    acc_bat = TestEvalAccumulator()
+    got = acc_bat.update_batch(matches, gt, kpts0, kpts1, mask0, mask1,
+                               T_gt, calculate_pose=calculate_pose)
+
+    statuses = [s for s, _, _ in refs]
+    assert {"banned", "too_few"} <= set(statuses)
+    if calculate_pose:
+        assert "ok" in statuses
+    assert [s for s, _, _ in got] == statuses
+    for (_, mm_r, pm_r), (_, mm_g, pm_g) in zip(refs, got):
+        for k in mm_r:
+            assert mm_g[k] == pytest.approx(mm_r[k], rel=0, abs=0,
+                                            nan_ok=True), k
+        if pm_r is not None:
+            for k in ("trans_error", "rot_error", "inlier_ratio"):
+                assert pm_g[k] == pytest.approx(pm_r[k], rel=1e-9,
+                                                nan_ok=True), k
+            assert pm_g["inlier"] == pm_r["inlier"]
+    assert acc_bat.fail == acc_ref.fail
+    assert acc_bat.baned_data == acc_ref.baned_data
+    assert acc_bat.n_pairs == acc_ref.n_pairs
+    s_ref, s_bat = acc_ref.summary(), acc_bat.summary()
+    for k in s_ref:
+        assert s_bat[k] == pytest.approx(s_ref[k], rel=1e-9, nan_ok=True), k
+
+
+def test_update_batch_printed_lines_identical():
+    """Fuzz: the %.3f-formatted per-pair print values are IDENTICAL
+    between the batched and per-pair paths over many random batches (the
+    f64 reassociation noise never reaches the 3rd decimal)."""
+    rng = np.random.default_rng(43)
+    fmt = ("{inlier} {inlier_ratio:.3f} {trans_error:.3f} "
+           "{rot_error:.3f}")
+    for trial in range(12):
+        matches, gt, kpts0, kpts1, mask0, mask1, T_gt = \
+            _random_padded_batch(rng, b=16, n=40)
+        a_ref, a_bat = TestEvalAccumulator(), TestEvalAccumulator()
+        got = a_bat.update_batch(matches, gt, kpts0, kpts1, mask0, mask1,
+                                 T_gt)
+        for i in range(16):
+            s_r, mm_r, pm_r = a_ref.update_pair(
+                matches[i][mask0[i]], gt[i][mask0[i]],
+                kpts0[i][mask0[i]], kpts1[i][mask1[i]], T_gt[i])
+            s_g, mm_g, pm_g = got[i]
+            assert s_g == s_r
+            if pm_r is not None and not np.isnan(pm_r["rot_error"]):
+                assert fmt.format(**pm_g) == fmt.format(**pm_r), (trial, i)
+
+
+def test_registration_batch_metrics_matches_per_pair():
+    """registration_batch_metrics == per-pair matching_metrics
+    (registration protocol) + pose_metrics on compacted arrays, incl. the
+    empty-match nan divergence."""
+    from mdgat_tpu.eval import (matching_metrics, pose_metrics,
+                                registration_batch_metrics)
+
+    rng = np.random.default_rng(47)
+    matches, gt, kpts0, kpts1, mask0, mask1, T_gt = \
+        _random_padded_batch(rng)
+    # plant an empty-match pair
+    matches[1][:] = -1
+    b = matches.shape[0]
+
+    got = registration_batch_metrics(matches, gt, kpts0, kpts1,
+                                     mask0, mask1, T_gt)
+    saw_empty = False
+    for i in range(b):
+        m = matches[i][mask0[i]]
+        g = gt[i][mask0[i]]
+        k0 = kpts0[i][mask0[i]]
+        k1 = kpts1[i][mask1[i]]
+        mm_r = matching_metrics(m, g)           # registration protocol
+        mm_g, rte, rre = got[i]
+        for k in mm_r:
+            assert mm_g[k] == pytest.approx(mm_r[k], rel=0, abs=0,
+                                            nan_ok=True), (i, k)
+        valid = m > -1
+        if valid.sum() == 0:
+            assert np.isnan(rte) and np.isnan(rre)
+            saw_empty = True
+            continue
+        pm = pose_metrics(k0[valid], k1[m[valid]], T_gt[i])
+        assert rte == pytest.approx(pm["trans_error"], rel=1e-9,
+                                    nan_ok=True)
+        assert rre == pytest.approx(pm["rot_error"], rel=1e-9, nan_ok=True)
+    assert saw_empty

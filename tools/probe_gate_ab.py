@@ -3,6 +3,9 @@
 ``mdgat_tpu.ops.pallas.attention``.
 
 Usage: probe_gate_ab.py GATE VALUE [VALUE ...] [--train]
+   or: probe_gate_ab.py --arms 'G1=V1+G2=V2' 'G1=V3' ... [--train]
+       (each arm sets several gates at once; gates omitted from an arm
+       keep their module defaults — arms reset before applying)
 
 Times the eval forward at the bench config (batch 64, N 256) — and,
 with ``--train``, the train step at the reference config (batch 64,
