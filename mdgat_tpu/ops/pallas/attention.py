@@ -98,6 +98,13 @@ _FWD_BUDGET_FAST = 26 * 1024 * 1024
 # whole-layer fused kernels keep more per-program state (weights + MLP
 # temporaries); separate budget, same A/B rationale
 _LAYER_BUDGET = 13 * 1024 * 1024
+# TRAIN-mode whole-layer gate (fused_train_layer_fits): 13 MB excludes
+# the N=1024 stretch config, where round 3 measured the fused layer ~5%
+# SLOWER (37.9 -> 39.8 ms/step, bb=1). Chip A/B gate: raising past
+# 5*N*M*4 = 20 MB admits the stretch shape (tools/probe_stretch.py
+# arms) — re-probe after kernel-set changes (the lse-residual backward
+# landed after the round-3 measurement).
+_TL_BUDGET = 13 * 1024 * 1024
 
 _SIGN_FIX = np.int32(0x7FFFFFFF)  # numpy scalar: inlined as a literal
 
@@ -1700,7 +1707,7 @@ def fused_train_layer_fits(num_heads: int, d: int, n: int, m: int) -> bool:
     clouds) must check every shape pair BEFORE committing to the fused
     path — ``fused_train_layer_apply`` returns None exactly when this
     predicate is False."""
-    return d % num_heads == 0 and 5 * n * m * 4 <= 13 * 1024 * 1024
+    return d % num_heads == 0 and 5 * n * m * 4 <= _TL_BUDGET
 
 
 def fused_train_layer_apply(layer_params, layer_state, x, source,
