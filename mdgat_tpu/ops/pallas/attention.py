@@ -42,6 +42,18 @@ _BISECT_ITERS_FAST = 14
 # real-chip A/B (or a Mosaic toolchain regression on the packed int32
 # ops) is a one-line flip, not a git-stash dance.
 _KARY_SELECT = True
+# Widest M (score-slab row length) that still uses k-ary selection; wider
+# rows use plain binary bisection. Chip-measured crossover: at M=256 the
+# k-ary packed-count selector wins ~2.5% end-to-end (round-3 probe), at
+# M=1024 it LOSES ~14% (tools/probe_stretch.py round 4: binary 8.31 ms /
+# 962 pairs/s vs ternary 9.65 / 829 at _LAYER_BUDGET=26MB) — on the big
+# slabs the per-pass extra compare+mul-add chain costs more than the
+# 14->9 traversal cut saves. M=512 is a WASH (probe_gate_ab --train,
+# 2x2 reps: train 59.1 vs 58.6 ms best-of, ordering flips between reps;
+# eval N=256 identical by construction) — 512 keeps the round-3
+# k-ary-wins measurement intact and only the clearly-losing M=1024
+# switches to binary.
+_KARY_MAX_M = 512
 # Count-accumulator dtype for the fast-path selection sweeps (chip A/B
 # gate). The pre-k-ary binary bisection accumulated its compare counts
 # in F32 — the form Mosaic fuses into one compare+reduce VPU pass; the
@@ -96,8 +108,14 @@ _BWD_LIVE = 5
 _FWD_BUDGET_EXACT = 13 * 1024 * 1024
 _FWD_BUDGET_FAST = 26 * 1024 * 1024
 # whole-layer fused kernels keep more per-program state (weights + MLP
-# temporaries); separate budget, same A/B rationale
-_LAYER_BUDGET = 13 * 1024 * 1024
+# temporaries); separate budget, same A/B rationale. Raised 13 -> 26 MB
+# in round 4: identical blocking at N<=256 (bb=4 fits either way), but
+# the N=1024 stretch eval goes nblk 256 -> 512 (half the query blocks,
+# half the K/V/weight reloads) for 12.32 -> 9.51 ms/step (649 -> 841
+# pairs/s, tools/probe_stretch.py 2x2 interleaved). 48 MB (nblk=1024,
+# one program per element) measured slightly WORSE (9.75) — the single
+# giant program loses grid-level pipelining.
+_LAYER_BUDGET = 26 * 1024 * 1024
 # TRAIN-mode whole-layer gate (fused_train_layer_fits): 13 MB excludes
 # the N=1024 stretch config, where round 3 measured the fused layer ~5%
 # SLOWER (37.9 -> 39.8 ms/step, bb=1). Chip A/B gate: raising past
@@ -185,7 +203,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
         # search for the largest key t with cnt(>= t) >= k — that key IS
         # the k-th largest score
-        if _KARY_SELECT and s.shape[1] <= 1023:
+        if _KARY_SELECT and s.shape[1] <= min(1023, _KARY_MAX_M):
             # quaternary with packed counts (see the fast path below for
             # the packing economics): nested ceil-averages quarter the
             # interval per single-traversal step, so 16 steps resolve the
@@ -282,6 +300,7 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
 
         m_sz = s.shape[1]
         bits = max(int(np.ceil(np.log2(m_sz + 1))), 1)
+        kary_here = _KARY_SELECT and m_sz <= _KARY_MAX_M
         if _PACK_F32:
             # float packing: two bits-wide counts as c1 + c2 * 2^bits in
             # the f32 mantissa — exact while 2 * bits <= 24 (integers up
@@ -292,11 +311,11 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
             # TWO such accumulators per traversal (pentary, 7 passes for
             # the 14-pass binary resolution) — a win iff Mosaic fuses
             # both compare+mul-add+reduce chains into one slab pass.
-            n_mid = (_SEL_WIDTH if (_KARY_SELECT and 2 * bits <= 24)
+            n_mid = (_SEL_WIDTH if (kary_here and 2 * bits <= 24)
                      else 1)
         else:
             n_mid = (min(3, 31 // bits)
-                     if (_KARY_SELECT and bits <= 15) else 1)
+                     if (kary_here and bits <= 15) else 1)
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
         iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))

@@ -586,6 +586,38 @@ def test_kary_select_gate_matches_binary(monkeypatch):
     assert (pk[5] == 0).all()
 
 
+def test_kary_max_m_cutoff_forces_binary(monkeypatch):
+    """Rows wider than ``_KARY_MAX_M`` must take the binary selectors
+    even with ``_KARY_SELECT=True`` (chip-measured crossover: k-ary wins
+    at M=256, loses ~14% at M=1024 — tools/probe_stretch.py round 4).
+    With the cutoff below M, k-ary-on must be BIT-identical to
+    ``_KARY_SELECT=False`` on both fast and exact paths."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(17)
+    s = np.asarray(rng.normal(size=(2 * 2 * 8, 48)) * 5, np.float32)
+    valid = rng.uniform(size=s.shape) > 0.2
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+
+    outs = {}
+    for tag, gates in (("binary", {"_KARY_SELECT": False}),
+                       ("cutoff", {"_KARY_SELECT": True,
+                                   "_KARY_MAX_M": 16})):
+        for name, val in gates.items():
+            monkeypatch.setattr(A, name, val)
+        outs[tag] = {
+            "fast": A._stacked_prob(sj, vj, topk=6, exact=False,
+                                    has_mask=True),
+            "exact": A._stacked_prob(sj, vj, topk=6, exact=True,
+                                     has_mask=True),
+        }
+        monkeypatch.undo()
+    for branch in ("fast", "exact"):
+        for a, b in zip(outs["binary"][branch], outs["cutoff"][branch]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_epilogue_gate_variants_agree(monkeypatch):
     """The three ``_EPILOGUE`` softmax-epilogue variants (chip A/B gate)
     must produce the same probabilities ``e * inv`` to one f32 rounding

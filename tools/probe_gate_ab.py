@@ -35,16 +35,32 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _lit(raw):
+    try:
+        return ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        return raw                    # bare string, e.g. deferred_where
+
+
+def _parse_arm(spec):
+    """'G1=V1+G2=V2' -> {G1: V1, G2: V2}; 'defaults' -> {}."""
+    out = {}
+    if spec in ("defaults", ""):
+        return out
+    for part in spec.split("+"):
+        name, _, raw = part.partition("=")
+        out[name.strip()] = _lit(raw)
+    return out
+
+
 def main():
     argv = [a for a in sys.argv[1:] if a != "--train"]
     do_train = "--train" in sys.argv[1:]
-    gate, raw_values = argv[0], argv[1:]
-    values = []
-    for v in raw_values:
-        try:
-            values.append(ast.literal_eval(v))
-        except (ValueError, SyntaxError):
-            values.append(v)          # bare string, e.g. deferred_where
+    if argv and argv[0] == "--arms":
+        arms = [_parse_arm(a) for a in argv[1:]]
+    else:
+        gate, raw_values = argv[0], argv[1:]
+        arms = [{gate: _lit(v)} for v in raw_values]
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/.jax_bench_cache")
@@ -52,7 +68,11 @@ def main():
     import mdgat_tpu.ops.pallas.attention as A
     from mdgat_tpu.train import create_train_state, make_train_step
 
-    assert hasattr(A, gate), f"no gate {gate!r} in pallas.attention"
+    defaults = {}
+    for arm in arms:
+        for name in arm:
+            assert hasattr(A, name), f"no gate {name!r} in pallas.attention"
+            defaults.setdefault(name, getattr(A, name))
 
     tiny = jax.jit(lambda v: v + 1)
     _ = np.asarray(tiny(jax.numpy.ones(())))
@@ -66,9 +86,12 @@ def main():
 
     results = {}
     for rep in range(2):              # interleave arms to cancel drift
-        for val in values:
-            setattr(A, gate, val)
-            tag = str(val)
+        for arm in arms:
+            for name, val in defaults.items():
+                setattr(A, name, val)
+            for name, val in arm.items():
+                setattr(A, name, val)
+            tag = "+".join(f"{k}={v}" for k, v in arm.items()) or "defaults"
 
             model, params, state, data = g._flagship(
                 compute_dtype="bfloat16", batch=64, n=256)
@@ -87,7 +110,7 @@ def main():
                 _ = np.asarray(out[1].astype("float32"))
                 best = min(best, time.time() - t0 - rtt)
             ev = best / K_ENQ
-            log(f"[rep{rep}] eval  {gate}={tag}: {ev * 1e3:.2f} ms/step "
+            log(f"[rep{rep}] eval  {tag}: {ev * 1e3:.2f} ms/step "
                 f"({64 / ev:.0f} pairs/s)")
 
             tr = float("nan")
@@ -105,13 +128,13 @@ def main():
                     ts, mtr = tstep(ts, tdata)
                 _ = np.asarray(mtr["loss"])
                 tr = (time.time() - t0 - rtt) / 5
-                log(f"[rep{rep}] train {gate}={tag}: {tr * 1e3:.1f} ms/step "
+                log(f"[rep{rep}] train {tag}: {tr * 1e3:.1f} ms/step "
                     f"({64 / tr:.0f} pairs/s)")
             results.setdefault(tag, []).append((ev, tr))
 
     for tag, vals in results.items():
         ev = min(v[0] for v in vals)
-        line = f"BEST {gate}={tag}: eval {ev * 1e3:.2f} ms ({64 / ev:.0f} pairs/s)"
+        line = f"BEST {tag}: eval {ev * 1e3:.2f} ms ({64 / ev:.0f} pairs/s)"
         if do_train:
             tr = min(v[1] for v in vals)
             line += f", train {tr * 1e3:.1f} ms ({64 / tr:.0f} pairs/s)"

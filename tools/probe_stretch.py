@@ -50,8 +50,10 @@ def parse_arm(spec):
 
 
 def main():
-    argv = [a for a in sys.argv[1:] if a != "--eval-only"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--eval-only", "--train-only")]
     do_train = "--eval-only" not in sys.argv[1:]
+    do_eval = "--train-only" not in sys.argv[1:]
     arms = [parse_arm(a) for a in argv] or [{}]
 
     import jax
@@ -85,21 +87,24 @@ def main():
                 setattr(A, name, val)
             tag = "+".join(f"{k}={v}" for k, v in arm.items()) or "defaults"
 
-            model, params, state, data = g._flagship(
-                compute_dtype="bfloat16", batch=BATCH, n=N)
-            fwd = jax.jit(
-                lambda p, s, b: model.apply(p, s, b, train=False)[0]["loss"])
-            _ = np.asarray(fwd(params, state, data).astype("float32"))
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                for _ in range(K_EVAL):
-                    out = fwd(params, state, data)
-                _ = np.asarray(out.astype("float32"))
-                best = min(best, time.time() - t0 - rtt)
-            ev = best / K_EVAL
-            log(f"[rep{rep}] eval  {tag}: {ev*1e3:.2f} ms/step "
-                f"({BATCH/ev:.0f} pairs/s)")
+            ev = float("nan")
+            if do_eval:
+                model, params, state, data = g._flagship(
+                    compute_dtype="bfloat16", batch=BATCH, n=N)
+                fwd = jax.jit(
+                    lambda p, s, b: model.apply(p, s, b,
+                                                train=False)[0]["loss"])
+                _ = np.asarray(fwd(params, state, data).astype("float32"))
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(K_EVAL):
+                        out = fwd(params, state, data)
+                    _ = np.asarray(out.astype("float32"))
+                    best = min(best, time.time() - t0 - rtt)
+                ev = best / K_EVAL
+                log(f"[rep{rep}] eval  {tag}: {ev*1e3:.2f} ms/step "
+                    f"({BATCH/ev:.0f} pairs/s)")
 
             tr = float("nan")
             if do_train:
@@ -124,9 +129,11 @@ def main():
             results.setdefault(tag, []).append((ev, tr))
 
     for tag, vals in results.items():
-        ev = min(v[0] for v in vals)
-        line = (f"STRETCH {tag}: eval_ms {ev*1e3:.2f} eval_pairs_s "
-                f"{BATCH/ev:.0f}")
+        line = f"STRETCH {tag}:"
+        if do_eval:
+            ev = min(v[0] for v in vals)
+            line += (f" eval_ms {ev*1e3:.2f} eval_pairs_s "
+                     f"{BATCH/ev:.0f}")
         if do_train:
             tr = min(v[1] for v in vals)
             line += f" train_ms {tr*1e3:.1f}"
