@@ -116,13 +116,15 @@ _FWD_BUDGET_FAST = 26 * 1024 * 1024
 # one program per element) measured slightly WORSE (9.75) — the single
 # giant program loses grid-level pipelining.
 _LAYER_BUDGET = 26 * 1024 * 1024
-# TRAIN-mode whole-layer gate (fused_train_layer_fits): 13 MB excludes
-# the N=1024 stretch config, where round 3 measured the fused layer ~5%
-# SLOWER (37.9 -> 39.8 ms/step, bb=1). Chip A/B gate: raising past
-# 5*N*M*4 = 20 MB admits the stretch shape (tools/probe_stretch.py
-# arms) — re-probe after kernel-set changes (the lse-residual backward
-# landed after the round-3 measurement).
-_TL_BUDGET = 13 * 1024 * 1024
+# TRAIN-mode whole-layer gate (fused_train_layer_fits). Round 3
+# measured the fused layer ~5% SLOWER at the N=1024 stretch config
+# (37.9 -> 39.8 ms/step, bb=1) and gated it to 13 MB; round 4 re-probed
+# after the lse-residual backward + shape-gated selection landed
+# (tools/probe_stretch.py --train-only, 2x2 interleaved reps) and the
+# verdict INVERTED: fused 25.3/25.5 vs unfused 25.7/26.0 ms/step —
+# consistently ~1.5% faster in both reps. 24 MB admits the stretch
+# shape (5*N*M*4 = 20 MB); re-probe on kernel-set changes.
+_TL_BUDGET = 24 * 1024 * 1024
 
 _SIGN_FIX = np.int32(0x7FFFFFFF)  # numpy scalar: inlined as a literal
 
@@ -1719,9 +1721,10 @@ def fused_train_layer_fits(num_heads: int, d: int, n: int, m: int) -> bool:
 
     Size gate (measured, v5e): at the reference config (N=M=512,
     backward bb=2) the fused layer wins ~2% end-to-end (62.1 -> 60.8
-    ms/step); at the 1024-kpt stretch config (bb=1) the extra h1
-    round-trips + two added kernel launches made it ~5% SLOWER
-    (37.9 -> 39.8 ms/step) — fall back to fused-MHA + XLA MLP there.
+    ms/step); at the 1024-kpt stretch config (bb=1) round 3 measured it
+    ~5% SLOWER but the round-4 re-probe (post lse-residual backward +
+    shape-gated selection) has it ~1.5% FASTER (25.3 vs 25.7 ms/step,
+    both interleaved reps) — see the _TL_BUDGET gate comment.
     Callers that apply the kernel to several tensors (gnn layer: both
     clouds) must check every shape pair BEFORE committing to the fused
     path — ``fused_train_layer_apply`` returns None exactly when this
