@@ -89,8 +89,13 @@ def main():
                             cfg.batch_size, fetch=fetch,
                             shard_inputs=shard_inputs,
                             pair_range=pair_range)
-    for batch, out in pipeline:
-        gt_host = out
+    t_first = None  # wall time of the first completed batch: on the axon
+    n_batches = 0   # tunnel the process's FIRST device op pays a large
+    for batch, out in pipeline:   # remote cold-start (~170 s measured
+        gt_host = out             # 2026-08-19); report it separately so
+        if t_first is None:       # the steady-state rate is visible
+            t_first = time.time()
+        n_batches += 1
 
         # batched host post-processing: classification counts as integer
         # [B]-reductions and ONE [B,3,3] SVD pose solve (bit-compatible
@@ -176,6 +181,14 @@ def main():
     print("baned_data {}".format(mean["baned_rate"]))
     print(f"[timing] {acc.n_pairs} pairs in {dt:.2f}s = "
           f"{acc.n_pairs / dt:.1f} pairs/s")
+    if t_first is not None and n_batches > 1:
+        steady = dt - (t_first - t0)
+        per_batch = steady / (n_batches - 1)
+        print(f"[timing] first batch {t_first - t0:.2f}s (compile + "
+              f"tunnel cold-start), then {n_batches - 1} batches in "
+              f"{steady:.2f}s = {per_batch:.3f} s/batch "
+              f"({(acc.n_pairs / n_batches) / per_batch:.0f} pairs/s "
+              f"steady-state)")
 
 
 if __name__ == "__main__":

@@ -81,8 +81,13 @@ def main():
                             cfg.batch_size, fetch=("matches0",),
                             shard_inputs=shard_inputs,
                             pair_range=pair_range)
+    t_first = None  # first-completed-batch wall time (splits the axon
+    n_batches = 0   # tunnel's per-process cold-start out of the rate)
     for batch, out in pipeline:
         gt_host = out
+        if t_first is None:
+            t_first = time.time()
+        n_batches += 1
 
         # batched host post-processing (integer count reductions + one
         # [B,3,3] SVD solve — bit-compatible with the per-pair path,
@@ -164,6 +169,14 @@ def main():
     dt = time.time() - t0
     print(f"[timing] {n_pairs} pairs in {dt:.2f}s = "
           f"{n_pairs / dt:.1f} pairs/s")
+    if t_first is not None and n_batches > 1:
+        steady = dt - (t_first - t0)
+        per_batch = steady / (n_batches - 1)
+        print(f"[timing] first batch {t_first - t0:.2f}s (compile + "
+              f"tunnel cold-start), then {n_batches - 1} batches in "
+              f"{steady:.2f}s = {per_batch:.3f} s/batch "
+              f"({(n_pairs / n_batches) / per_batch:.0f} pairs/s "
+              f"steady-state)")
 
 
 if __name__ == "__main__":
