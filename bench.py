@@ -105,7 +105,12 @@ def bench_tpu():
     log(f"tpu: {per_step * 1e3:.2f} ms/step (rtt {rtt * 1e3:.1f} ms) "
         f"-> {pairs_per_sec:.0f} pairs/s")
 
-    # secondary metric (BASELINE.md): Sinkhorn iterations/sec at 256 kpts
+    # secondary metric (BASELINE.md): Sinkhorn iterations/sec at 256 kpts.
+    # The kernel runs ~0.4 ms/call, so a 20-call window (~8 ms) against a
+    # subtracted ~30 ms tunnel RTT was RTT-jitter-dominated — the r03/r04
+    # driver artifacts swung 3.6M -> 1.8M pair-iters/s on an unchanged
+    # kernel. Enqueue enough calls that the device window dwarfs the RTT
+    # (256 x ~0.4 ms ~= 100 ms) and take best-of-3.
     import jax.numpy as jnp
     from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
     scores = jnp.asarray(
@@ -113,11 +118,15 @@ def bench_tpu():
         jnp.float32)
     ot_fn = jax.jit(lambda s: pallas_log_optimal_transport(s, 1.0, 20))
     _ = np.asarray(ot_fn(scores).corner)
-    t0 = time.time()
-    for _ in range(20):
-        ot = ot_fn(scores)
-    _ = np.asarray(ot.corner)
-    per_ot = (time.time() - t0 - rtt) / 20
+    k_ot = 256
+    best_ot = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(k_ot):
+            ot = ot_fn(scores)
+        _ = np.asarray(ot.corner)
+        best_ot = min(best_ot, time.time() - t0 - rtt)
+    per_ot = best_ot / k_ot
     log(f"sinkhorn: {per_ot * 1e3:.2f} ms / 20 iters x {BATCH} pairs -> "
         f"{20 * BATCH / per_ot:.0f} pair-iters/s")
 
@@ -151,11 +160,55 @@ def bench_tpu():
     per_train = (time.time() - t0 - rtt) / 5
     log(f"train: {per_train * 1e3:.1f} ms/step @ reference config "
         f"(batch 64, N 512) -> {64 / per_train:.0f} pairs/s")
+
+    # stretch config (BASELINE.json configs[4]): N=1024, batch 8 — the
+    # round-4 wins (962 pairs/s eval / 25.3 ms train) lived only in
+    # docs/DESIGN.md; record them in the driver artifact so they are
+    # tracked round-over-round (round-4 verdict item 8).
+    smodel, sparams, sstate, sdata = g._flagship(
+        compute_dtype="bfloat16", batch=8, n=1024)
+
+    def sforward(p, s, b):
+        out, _ = smodel.apply(p, s, b, train=False)
+        return out["matches0"], out["loss"]
+
+    sfn = jax.jit(sforward)
+    _ = np.asarray(sfn(sparams, sstate, sdata)[1].astype("float32"))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(20):
+            sout = sfn(sparams, sstate, sdata)
+        _ = np.asarray(sout[1].astype("float32"))
+        best = min(best, time.time() - t0 - rtt)
+    per_seval = best / 20
+    log(f"stretch eval: {per_seval * 1e3:.2f} ms/step @ batch 8, N 1024 "
+        f"-> {8 / per_seval:.0f} pairs/s")
+
+    stmodel, _, _, stdata = g._flagship(
+        compute_dtype="bfloat16", param_dtype="float32",
+        n=1024, batch=8, remat_gnn=True, scan_gnn_pairs=False)
+    sts, stx = create_train_state(stmodel, jax.random.PRNGKey(0), 1e-4)
+    ststep = make_train_step(stmodel, stx, donate=False)
+    sts, smtr = ststep(sts, stdata)
+    _ = np.asarray(smtr["loss"])
+    t0 = time.time()
+    for _ in range(5):
+        sts, smtr = ststep(sts, stdata)
+    _ = np.asarray(smtr["loss"])
+    per_strain = (time.time() - t0 - rtt) / 5
+    log(f"stretch train: {per_strain * 1e3:.1f} ms/step @ batch 8, N 1024 "
+        f"-> {8 / per_strain:.0f} pairs/s")
+
     return pairs_per_sec, {
         "eval_ms_per_step_b64_n256": round(per_step * 1e3, 2),
         "sinkhorn_pair_iters_per_s": round(20 * BATCH / per_ot),
         "train_ms_per_step_b64_n512": round(per_train * 1e3, 1),
         "train_pairs_per_s": round(64 / per_train),
+        "stretch_eval_ms_per_step_b8_n1024": round(per_seval * 1e3, 2),
+        "stretch_eval_pairs_per_s": round(8 / per_seval),
+        "stretch_train_ms_per_step_b8_n1024": round(per_strain * 1e3, 1),
+        "stretch_train_pairs_per_s": round(8 / per_strain),
     }
 
 

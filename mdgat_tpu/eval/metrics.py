@@ -141,6 +141,20 @@ def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
     n_tp, n_fp, n_tn, n_fn = map(int, (tp.sum(), fp.sum(), tn.sum(),
                                        fn.sum()))
     n_valid, n_gt = int(valid.sum()), int(valid_gt.sum())
+    return _metrics_from_counts(
+        n, n_valid, n_gt, n_tp, n_tn, protocol,
+        n_fp=n_fp, n_fn=n_fn,
+        n_fp_t=int((valid & ~valid_gt).sum()),
+        n_vg=int((valid & valid_gt).sum()))
+
+
+def _metrics_from_counts(n, n_valid, n_gt, n_tp, n_tn, protocol, *,
+                         n_fp=0, n_fn=0, n_fp_t=0, n_vg=0) -> Dict:
+    """The ONE copy of the metric formulas over per-pair integer counts —
+    shared by :func:`matching_metrics` (counts from one pair's arrays) and
+    the batched paths (counts as [B] integer reductions, sliced per row).
+    ``n_fp``/``n_fn`` feed the "registration" rates, ``n_fp_t``/``n_vg``
+    the "test" rates; callers pass whichever their protocol reads."""
     out = {
         "n": n,
         "n_valid": n_valid,
@@ -159,12 +173,10 @@ def matching_metrics(matches: np.ndarray, gt_matches: np.ndarray,
     if protocol == "test":
         # test.py:279-291 — FP counts valid predictions where GT says
         # "unmatched"; rates are normalized by GT-side counts.
-        n_fp_t = int((valid & ~valid_gt).sum())
         n_no_gt = n - n_gt
         out["fm"] = n_fp_t
         out["fp_rate"] = n_fp_t / n_no_gt if n_no_gt else float("nan")
-        out["tp_rate"] = (int((valid & valid_gt).sum()) / n_gt
-                          if n_gt else float("nan"))
+        out["tp_rate"] = n_vg / n_gt if n_gt else float("nan")
         out["tp_rate2"] = n_tp / n_gt if n_gt else float("nan")
     else:
         # 0/0 -> nan, as the reference's unguarded numpy divisions
@@ -219,15 +231,21 @@ def pose_metrics(mkpts0: np.ndarray, mkpts1: np.ndarray, T_gt: np.ndarray,
     }
 
 
-def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt):
+def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt, fit_rows=None):
     """One batched f64 Kabsch fit over padded [B, N] matches.
 
     ``valid`` [B, N] selects the matched rows; the fit equals the
     per-pair :func:`np_kabsch` on compacted arrays up to f64 summation
     reassociation (weighted einsum vs compacted ``np.mean``/matmul).
-    Returns (T [B,4,4], inlier [B], rte [B], rre [B]); pairs with zero
-    matches get rte/rre = nan (the empty-match divergence documented in
-    README — the reference would crash there)."""
+    ``fit_rows`` [B] (optional) marks the pairs whose fit the caller will
+    actually consume — rows outside it (banned / too-few-match pairs the
+    per-pair reference protocol never fits) are zeroed out of the batched
+    SVD instead of wasting work or poisoning it with a degenerate matrix.
+    Returns (T [B,4,4], inlier [B], rte [B], rre [B]); unfitted pairs get
+    rte/rre = nan (the empty-match divergence documented in README — the
+    reference would crash there)."""
+    if fit_rows is not None:
+        valid = valid & np.asarray(fit_rows, bool)[:, None]
     w = valid.astype(np.float64)
     n_valid = w.sum(1)
     nv = np.maximum(n_valid, 1.0)
@@ -238,7 +256,22 @@ def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt):
     uq = (kpts0 * w[:, :, None]).sum(1) / nv[:, None]
     H = np.einsum("bn,bni,bnj->bij", w, kpts0 - uq[:, None],
                   g1 - up[:, None])                 # (Q-uq)(P-up)^T
-    U, _, Vh = np.linalg.svd(H)
+    try:
+        U, S, Vh = np.linalg.svd(H)
+    except np.linalg.LinAlgError:
+        # one non-converging 3x3 must not take down the whole batch:
+        # redo row-by-row, routing the offender to the per-pair path
+        U = np.zeros_like(H)
+        S = np.zeros(H.shape[:2])
+        Vh = np.zeros_like(H)
+        svd_fail = np.zeros(H.shape[0], bool)
+        for i in range(H.shape[0]):
+            try:
+                U[i], S[i], Vh[i] = np.linalg.svd(H[i])
+            except np.linalg.LinAlgError:
+                svd_fail[i] = True
+    else:
+        svd_fail = np.zeros(H.shape[0], bool)
     R = U @ Vh                                      # no det fix, like ref
     t = uq - np.einsum("bij,bj->bi", R, up)
     moved = np.einsum("bij,bnj->bni", R, g1) + t[:, None]
@@ -258,9 +291,13 @@ def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt):
     # direction is ambiguous and f64 reassociation noise can flip the
     # (reflection-unfixed) R between the batched and per-pair paths —
     # recompute those rare pairs exactly like the per-pair np_kabsch.
-    # >= 4 matches the fit is generically full-rank and the two paths
-    # agree to print precision (fuzz-tested).
-    for i in np.nonzero((n_valid > 0) & (n_valid <= 3))[0]:
+    # Same story for >= 4 exactly-coplanar matches (sigma3 ~ 0 relative
+    # to sigma1: rank-deficient H, ill-conditioned SVD) and for a row
+    # whose SVD failed outright. Generic >= 4 fits are full-rank and the
+    # two paths agree to print precision (fuzz-tested).
+    degenerate = S[:, 2] < 1e-9 * np.maximum(S[:, 0], 1e-300)
+    redo = (n_valid > 0) & ((n_valid <= 3) | degenerate | svd_fail)
+    for i in np.nonzero(redo)[0]:
         sel = valid[i]
         pm = pose_metrics(kpts0[i][sel], g1[i][sel], np.asarray(T_gt[i]))
         T[i] = pm["T"]
@@ -300,30 +337,20 @@ def registration_batch_metrics(matches, gt0, kpts0, kpts1, mask0, mask1,
 
     rte = rre = [None] * b
     if calculate_pose:
-        _, _, rte, rre = _batched_pose_fit(matches, kpts0, kpts1, valid,
-                                           T_gt)
+        # the per-pair reference protocol fits every NON-banned pair
+        # (test_registration_metric.py:230-256); skip the banned rows so
+        # a degenerate pair the protocol never reads can't poison the
+        # batched SVD (and the fit isn't wasted work)
+        _, _, rte, rre = _batched_pose_fit(
+            matches, kpts0, kpts1, valid, T_gt,
+            fit_rows=n_gt >= n * 0.1)
 
     out = []
     for i in range(b):
-        nv_i, ng_i = int(n_valid[i]), int(n_gt[i])
-        mm = {
-            "n": int(n[i]),
-            "n_valid": nv_i,
-            "n_gt": ng_i,
-            "repeatability": ng_i / n[i] if n[i] else 0.0,
-            "precision": n_tp[i] / nv_i if nv_i > 0 else 0.0,
-            "recall": ((n_tp[i] / ng_i if ng_i else float("nan"))
-                       if nv_i > 0 else 0.0),
-            "accuracy": (n_tp[i] + n_tn[i]) / n[i] if n[i] else 0.0,
-            "matching_score": n_tp[i] / n[i] if n[i] else 0.0,
-            "tm": int(n_tp[i]),
-            "banned": ng_i < n[i] * 0.1,
-            "fm": int(n_fp[i]),
-            "fp_rate": (n_fp[i] / (n_fp[i] + n_tn[i])
-                        if (n_fp[i] + n_tn[i]) > 0 else float("nan")),
-            "tp_rate": (n_tp[i] / (n_tp[i] + n_fn[i])
-                        if (n_tp[i] + n_fn[i]) > 0 else float("nan")),
-        }
+        mm = _metrics_from_counts(
+            int(n[i]), int(n_valid[i]), int(n_gt[i]), int(n_tp[i]),
+            int(n_tn[i]), "registration",
+            n_fp=int(n_fp[i]), n_fn=int(n_fn[i]))
         out.append((mm,
                     float(rte[i]) if calculate_pose else None,
                     float(rre[i]) if calculate_pose else None))
@@ -359,46 +386,49 @@ class TestEvalAccumulator:
         self.baned_data = 0
         self.n_pairs = 0
 
+    def _step(self, mm, pm_fn, calculate_pose: bool):
+        """One pair's accumulation decision — the ONE copy of the
+        reference sequence (repeatability-before-ban, ban/too-few/pose
+        gates, array appends), shared by :meth:`update_pair` and
+        :meth:`update_batch`. ``pm_fn`` lazily supplies the pose metrics
+        so unfitted pairs never pay for (or read) a fit."""
+        self.n_pairs += 1
+        self.arrays["repeatability"].append(mm["repeatability"])
+        if mm["banned"]:
+            self.baned_data += 1
+            self.fail += 1
+            return "banned", mm, None
+        if mm["n_valid"] < 4:                     # test.py:272-274
+            self.fail += 1
+            return "too_few", mm, None
+        if not calculate_pose:
+            return "ok_nopose", mm, None
+        pm = pm_fn()
+        if (pm["trans_error"] > 2 or pm["rot_error"] > 5
+                or np.isnan(pm["trans_error"]) or np.isnan(pm["rot_error"])):
+            self.fail += 1                        # test.py:296-298
+            return "pose_fail", mm, pm
+        a = self.arrays
+        for k in ("trans_error", "rot_error", "inlier", "inlier_ratio"):
+            a[k].append(pm[k])
+        for k in ("precision", "accuracy", "recall", "fp_rate", "tp_rate",
+                  "tp_rate2", "tm", "fm"):
+            a[k].append(mm[k])
+        return "ok", mm, pm
+
     def update_pair(self, matches: np.ndarray, gt0: np.ndarray,
                     kpts0: np.ndarray, kpts1: np.ndarray,
                     T_gt: Optional[np.ndarray] = None,
                     calculate_pose: bool = True):
         """Process one pair; returns (status, mm, pm) where status is one
         of 'banned' | 'too_few' | 'pose_fail' | 'ok' | 'ok_nopose'."""
-        self.n_pairs += 1
         mm = matching_metrics(matches, gt0, protocol="test")
-        self.arrays["repeatability"].append(mm["repeatability"])
-        if mm["banned"]:
-            self.baned_data += 1
-            self.fail += 1
-            return "banned", mm, None
-        valid = matches > -1
-        mkpts0 = kpts0[valid]
-        mkpts1 = kpts1[matches[valid]]
-        if len(mkpts0) < 4:                       # test.py:272-274
-            self.fail += 1
-            return "too_few", mm, None
-        if not calculate_pose:
-            return "ok_nopose", mm, None
-        pm = pose_metrics(mkpts0, mkpts1, T_gt)
-        if (pm["trans_error"] > 2 or pm["rot_error"] > 5
-                or np.isnan(pm["trans_error"]) or np.isnan(pm["rot_error"])):
-            self.fail += 1                        # test.py:296-298
-            return "pose_fail", mm, pm
-        a = self.arrays
-        a["trans_error"].append(pm["trans_error"])
-        a["rot_error"].append(pm["rot_error"])
-        a["inlier"].append(pm["inlier"])
-        a["inlier_ratio"].append(pm["inlier_ratio"])
-        a["precision"].append(mm["precision"])
-        a["accuracy"].append(mm["accuracy"])
-        a["recall"].append(mm["recall"])
-        a["fp_rate"].append(mm["fp_rate"])
-        a["tp_rate"].append(mm["tp_rate"])
-        a["tp_rate2"].append(mm["tp_rate2"])
-        a["tm"].append(mm["tm"])
-        a["fm"].append(mm["fm"])
-        return "ok", mm, pm
+
+        def pm_fn():
+            valid = matches > -1
+            return pose_metrics(kpts0[valid], kpts1[matches[valid]], T_gt)
+
+        return self._step(mm, pm_fn, calculate_pose)
 
     def update_batch(self, matches, gt0, kpts0, kpts1, mask0, mask1,
                      T_gt=None, calculate_pose: bool = True):
@@ -437,13 +467,19 @@ class TestEvalAccumulator:
         n_gt = valid_gt.sum(1)
         n_fp_t = (valid & ~valid_gt).sum(1)
         n_vg = (valid & valid_gt).sum(1)
-        n_no_gt = n - n_gt
 
-        # ---- batched pose fit (only consumed by unbanned pairs) --------
+        mms = [_metrics_from_counts(
+            int(n[i]), int(n_valid[i]), int(n_gt[i]), int(n_tp[i]),
+            int(n_tn[i]), "test",
+            n_fp_t=int(n_fp_t[i]), n_vg=int(n_vg[i])) for i in range(b)]
+
+        # ---- batched pose fit, only over rows the protocol will read ---
         pms = [None] * b
         if calculate_pose:
+            fit_rows = np.array(
+                [not mm["banned"] and mm["n_valid"] >= 4 for mm in mms])
             T, inlier, rte, rre = _batched_pose_fit(
-                matches, kpts0, kpts1, valid, T_gt)
+                matches, kpts0, kpts1, valid, T_gt, fit_rows=fit_rows)
             for i in range(b):
                 pms[i] = {
                     "T": T[i],
@@ -454,64 +490,9 @@ class TestEvalAccumulator:
                     "rot_error": float(rre[i]),
                 }
 
-        # ---- sequential protocol (identical to update_pair) ------------
-        results = []
-        for i in range(b):
-            self.n_pairs += 1
-            nv_i, ng_i = int(n_valid[i]), int(n_gt[i])
-            mm = {
-                "n": int(n[i]),
-                "n_valid": nv_i,
-                "n_gt": ng_i,
-                "repeatability": ng_i / n[i] if n[i] else 0.0,
-                "precision": n_tp[i] / nv_i if nv_i > 0 else 0.0,
-                "recall": ((n_tp[i] / ng_i if ng_i else float("nan"))
-                           if nv_i > 0 else 0.0),
-                "accuracy": (n_tp[i] + n_tn[i]) / n[i] if n[i] else 0.0,
-                "matching_score": n_tp[i] / n[i] if n[i] else 0.0,
-                "tm": int(n_tp[i]),
-                "banned": ng_i < n[i] * 0.1,
-                "fm": int(n_fp_t[i]),
-                "fp_rate": (n_fp_t[i] / n_no_gt[i] if n_no_gt[i]
-                            else float("nan")),
-                "tp_rate": n_vg[i] / ng_i if ng_i else float("nan"),
-                "tp_rate2": n_tp[i] / ng_i if ng_i else float("nan"),
-            }
-            self.arrays["repeatability"].append(mm["repeatability"])
-            if mm["banned"]:
-                self.baned_data += 1
-                self.fail += 1
-                results.append(("banned", mm, None))
-                continue
-            if nv_i < 4:                          # test.py:272-274
-                self.fail += 1
-                results.append(("too_few", mm, None))
-                continue
-            if not calculate_pose:
-                results.append(("ok_nopose", mm, None))
-                continue
-            pm = pms[i]
-            if (pm["trans_error"] > 2 or pm["rot_error"] > 5
-                    or np.isnan(pm["trans_error"])
-                    or np.isnan(pm["rot_error"])):
-                self.fail += 1                    # test.py:296-298
-                results.append(("pose_fail", mm, pm))
-                continue
-            a = self.arrays
-            a["trans_error"].append(pm["trans_error"])
-            a["rot_error"].append(pm["rot_error"])
-            a["inlier"].append(pm["inlier"])
-            a["inlier_ratio"].append(pm["inlier_ratio"])
-            a["precision"].append(mm["precision"])
-            a["accuracy"].append(mm["accuracy"])
-            a["recall"].append(mm["recall"])
-            a["fp_rate"].append(mm["fp_rate"])
-            a["tp_rate"].append(mm["tp_rate"])
-            a["tp_rate2"].append(mm["tp_rate2"])
-            a["tm"].append(mm["tm"])
-            a["fm"].append(mm["fm"])
-            results.append(("ok", mm, pm))
-        return results
+        # ---- sequential protocol (the shared update_pair step) ---------
+        return [self._step(mms[i], lambda pm=pms[i]: pm, calculate_pose)
+                for i in range(b)]
 
     def summary(self) -> Dict:
         mean = {k: (float(np.mean(v)) if v else float("nan"))

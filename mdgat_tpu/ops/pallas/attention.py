@@ -70,6 +70,10 @@ _PACK_F32 = True
 # binary path's 14-pass resolution); 4 = pentary, TWO accumulators built
 # in the same traversal (7 passes) — a win iff Mosaic fuses both
 # compare+mul-add+reduce chains into one slab read.
+# CLOSED 2026-08-19: _SEL_WIDTH=4 measured -19% eval on chip (Mosaic
+# runs the second accumulator chain as a second slab traversal, see
+# docs/DESIGN.md "Round-4 A/B outcomes") — do not re-probe without a
+# Mosaic toolchain bump.
 _SEL_WIDTH = 2
 # Run the fast-path bisection compare sweeps on a bf16 cast of the score
 # slab (chip A/B gate): halves the bytes per traversal; the one-time
@@ -80,6 +84,10 @@ _SEL_WIDTH = 2
 # match agreement. CLAUDE.md warns this toolchain's Mosaic bf16
 # SCALAR/MATMUL paths are buggy; pure elementwise compares must be
 # chip-validated (test + probe) before this defaults on.
+# CLOSED 2026-08-19: this Mosaic toolchain REJECTS bf16 compares in the
+# sweep at compile time (docs/DESIGN.md round-4 A/B outcomes) — the gate
+# stays for its interpret-mode tests only; do not re-probe on chip
+# without a toolchain bump.
 _SWEEP_BF16 = False
 # Softmax-epilogue variant (module gate, same A/B rationale as above —
 # the first post-relay chip numbers REGRESSED ~11% vs the last measured

@@ -83,14 +83,16 @@ def test_native_all_filtered_frame_zero_fills(tmp_path):
     assert not kp.any() and not score.any() and not desc.any()
 
 
-def test_rebuild_from_source():
-    """The lazy g++ build must recreate the .so from loader.cc after the
-    binary is deleted (the build artifact is intentionally not in git)."""
+def test_rebuild_from_source(tmp_path, monkeypatch):
+    """The lazy g++ build must recreate the .so from loader.cc (the build
+    artifact is intentionally not in git). Builds into a tmp path with
+    the module state patched so the real .so and loader singleton are
+    untouched — a failed rebuild can't leave the suite .so-less or make
+    test ordering matter."""
     import mdgat_tpu.native.loader as L
-    if os.path.exists(L._LIB):
-        os.remove(L._LIB)
-    L._lib = None
-    L._build_failed = False
+    monkeypatch.setattr(L, "_LIB", str(tmp_path / "libmdgat_loader.so"))
+    monkeypatch.setattr(L, "_lib", None)
+    monkeypatch.setattr(L, "_build_failed", False)
     lib = L._get_lib()
     assert lib is not None
     assert os.path.exists(L._LIB)

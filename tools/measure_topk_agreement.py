@@ -6,8 +6,10 @@ three ways — fast value-bisection kernel, exact integer-key kernel, and
 the XLA top_k threshold path — and reports match-decision agreement plus
 the end-metric deltas (precision/recall over synthetic GT).
 
-Usage: python tools/measure_topk_agreement.py [n_batches]
-Results are pinned in docs/DESIGN.md; rerun after kernel changes.
+Usage: python tools/measure_topk_agreement.py [n_batches] [--iters V ...]
+``--iters`` adds one fast arm per _BISECT_ITERS_FAST value (the module
+default otherwise). Results are pinned in docs/DESIGN.md; rerun after
+kernel changes.
 """
 
 import sys
@@ -17,12 +19,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(n_batches: int = 4):
+def main(n_batches: int = 4, iters_values=()):
     import jax
     import jax.numpy as jnp
     from mdgat_tpu.core.config import train_defaults
     from mdgat_tpu.models import MDGAT
     from mdgat_tpu.eval import matching_metrics
+    from mdgat_tpu.ops.pallas import attention as A
     from __graft_entry__ import _flagship
 
     variants = {
@@ -30,6 +33,14 @@ def main(n_batches: int = 4):
         "exact": dict(pallas_attention=True, pallas_exact_topk=True),
         "xla": dict(pallas_attention=False),
     }
+    default_iters = A._BISECT_ITERS_FAST
+    fast_iters = {"fast": default_iters}
+    for v in iters_values:
+        if v != default_iters:
+            name = f"fast@{v}"
+            variants[name] = dict(pallas_attention=True,
+                                  pallas_exact_topk=False)
+            fast_iters[name] = v
     matches = {k: [] for k in variants}
     metrics = {k: {"precision": [], "recall": []} for k in variants}
 
@@ -38,6 +49,7 @@ def main(n_batches: int = 4):
             compute_dtype="bfloat16", param_dtype="float32",
             n=256, batch=64, seed=100 + i)
         for name, overrides in variants.items():
+            A._BISECT_ITERS_FAST = fast_iters.get(name, default_iters)
             cfg = train_defaults(compute_dtype="bfloat16",
                                  param_dtype="float32",
                                  max_keypoints=256, batch_size=64,
@@ -67,11 +79,22 @@ def main(n_batches: int = 4):
               f"precision {p:.6f}, recall {r:.6f}")
     # fast vs exact shares the in-kernel score computation, so this
     # isolates the selection approximation itself
-    mf = np.concatenate([m.ravel() for m in matches["fast"]])
     me = np.concatenate([m.ravel() for m in matches["exact"]])
-    print(f"fast-vs-exact (same scores): agreement {float((mf == me).mean()):.6f} "
-          f"({int((mf != me).sum())} / {n} differ)")
+    for name in variants:
+        if not name.startswith("fast"):
+            continue
+        mf = np.concatenate([m.ravel() for m in matches[name]])
+        print(f"{name}-vs-exact (same scores, iters="
+              f"{fast_iters[name]}): agreement "
+              f"{float((mf == me).mean()):.6f} "
+              f"({int((mf != me).sum())} / {n} differ)")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 4)
+    args = sys.argv[1:]
+    it_vals = []
+    if "--iters" in args:
+        k = args.index("--iters")
+        it_vals = [int(v) for v in args[k + 1:]]
+        args = args[:k]
+    main(int(args[0]) if args else 4, it_vals)
