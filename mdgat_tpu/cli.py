@@ -80,6 +80,13 @@ def build_parser(preset: str) -> argparse.ArgumentParser:
         p.add_argument("--visualize", type=_parse_bool, default=False)
         p.add_argument("--vis_line_width", type=float, default=0.2)
         p.add_argument("--calculate_pose", type=_parse_bool, default=True)
+        p.add_argument("--ship_bf16", type=_parse_bool, default=False,
+                       help="ship descriptors to the device as bfloat16 "
+                            "(halves the dominant eval upload, ~7.9 -> "
+                            "~4.7 MB/batch at the 384-kpt bucket — for "
+                            "slow host links; documented divergence: the "
+                            "reference computes from f32 descriptors, "
+                            "bf16 rounding can flip near-tie matches)")
 
     # --- TPU-native extras (no reference equivalent) ---
     p.add_argument("--compute_dtype", type=str, default="float32",

@@ -43,16 +43,25 @@ def backend_is_cpu() -> bool:
 
 
 def machine_keyed_cache_dir(base: str = None) -> str:
-    """Persistent-compile-cache dir keyed by the host CPU's feature set.
+    """Persistent-compile-cache dir scoped to THIS host boot.
 
-    XLA:CPU AOT cache entries encode ISA features the default cache key
-    does not: an entry written on one machine type loads on another with
-    a "could lead to SIGILL" warning (observed ahead of the round-2
-    dryrun abort, and again when the driver moved hosts mid-round 3).
-    Every CPU-backend call site must key its cache dir by the host, so a
-    machine change gets a fresh dir instead of a possibly-poisoned
-    artifact. TPU-backend caches stay unkeyed — their executables do not
-    encode host ISA features, and warm TPU caches are expensive to lose.
+    XLA:CPU AOT cache entries encode LLVM target features the default
+    cache key does not: an entry written on one machine loads on another
+    with a "could lead to SIGILL" warning (observed ahead of the round-2
+    dryrun abort, again when the driver moved hosts mid-round 3, and —
+    decisive for the keying scheme — in the round-4 dryrun, where a
+    /proc/cpuinfo-flags hash still collided: the two hosts' cpuinfo flag
+    lines were identical but LLVM's *tuning* features differed by
+    ``prefer-no-gather``/``prefer-no-scatter``, which depend on CPU
+    model + microcode (GDS-mitigation detection), not on cpuinfo flags.
+    No user-space signature reliably reproduces LLVM's host-feature
+    computation, so the key includes the kernel ``boot_id``: artifacts
+    can only ever be reloaded within the same boot of the same machine,
+    where the features are identical by construction. The cost is a cold
+    dryrun compile (~10 min) once per boot — SIGILL-proof by
+    construction beats a warm cross-machine cache. TPU-backend caches
+    stay unkeyed — their executables do not encode host ISA features,
+    and warm TPU caches are expensive to lose.
     """
     import hashlib
     import os
@@ -60,15 +69,27 @@ def machine_keyed_cache_dir(base: str = None) -> str:
     if base is None:
         base = "/root" if os.access("/root", os.W_OK) else "/tmp"
     # x86 cpuinfo lists ISA extensions under "flags", aarch64 under
-    # "Features" — an empty signature would collapse all hosts of an
-    # architecture into one tag, recreating the cross-ISA poisoning
-    sig = ""
+    # "Features"; model name + microcode narrow same-flag hosts. These
+    # stay in the signature as forensics/defense-in-depth — boot_id is
+    # what makes cross-machine reuse impossible.
+    sig_lines = []
     try:
         with open("/proc/cpuinfo") as f:
-            sig = next((ln for ln in f
-                        if ln.startswith(("flags", "Features"))), "")
+            for ln in f:
+                if ln.startswith(("flags", "Features", "model name",
+                                  "microcode", "stepping")):
+                    sig_lines.append(ln.strip())
+                if len(sig_lines) >= 4:
+                    break
     except OSError:
         pass
-    sig = f"{_platform.machine()}|{sig or _platform.processor()}"
+    boot_id = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        pass
+    sig = "|".join([_platform.machine(), boot_id] +
+                   (sig_lines or [_platform.processor()]))
     tag = hashlib.sha256(sig.encode()).hexdigest()[:10]
     return f"{base}/.jax_cache_cpu_{tag}"

@@ -87,8 +87,9 @@ class SparseDataset:
         # descriptors dominate the upload (33 channels). float16 shipping
         # (~5e-4 relative error) was measured to flip ~1 match per pair on
         # near-tie-dense inputs — kept at the full host dtype for parity
-        # with the f32 pipeline; prepare still upcasts f16 if a caller
-        # opts in by overriding this attribute.
+        # with the f32 pipeline; prepare upcasts f16/bf16 if a caller
+        # opts in by overriding this attribute (eval CLIs: --ship_bf16,
+        # a documented divergence for slow host links).
         self.desc_dtype = self.host_dtype
         self.pairs, self.seq_list = kitti.make_dataset_kitti_distance(
             cfg.txt_path, mode)
@@ -342,9 +343,9 @@ def prepare_batch_fn(threshold: float, mutual_check: bool,
 
     @jax.jit
     def prepare(kp0, kp1, sc0, sc1, de0, de1, kp0w, kp1w, mask0, mask1):
-        # descriptors may arrive float16 (transfer compression); normalize
-        # in >= float32 regardless
-        if de0.dtype == jnp.float16:
+        # descriptors may arrive float16/bfloat16 (transfer compression,
+        # --ship_bf16); normalize in >= float32 regardless
+        if de0.dtype in (jnp.float16, jnp.bfloat16):
             de0 = de0.astype(jnp.float32)
             de1 = de1.astype(jnp.float32)
         n0 = jnp.linalg.norm(de0, axis=-1, keepdims=True)

@@ -33,8 +33,8 @@ def _require_o3d():
 
 def assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt,
                           mkpts1_gt, matches, mconf, true_positive,
-                          false_positive, offset: float = 50.0
-                          ) -> List[Dict]:
+                          false_positive, offset: float = 50.0,
+                          pc1=()) -> List[Dict]:
     """Pure-numpy layout of the three-panel comparison
     (``utils/utils_test.py:149-296`` panel scheme).
 
@@ -42,16 +42,27 @@ def assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt,
       ``spheres0``/``spheres1``  [N,3]/[M,3] keypoint sphere centers
       ``segments``               [K,2,3] match-line endpoints
       ``colors``                 [K,3] per-line RGB
-      ``cloud``                  [P,3] background cloud or None
+      ``cloud0``/``cloud1``      [P,3] background scans or None
+      ``cloud``                  alias of ``cloud0`` (back-compat)
 
-    Cloud 1 sits ``offset/2`` above cloud 0 in y; panels stack at
-    ``2*offset`` intervals. Panel colors: (1) predictions shaded by
-    confidence blue->red, (2) GT green, (3) TP green / FP red.
+    Cloud 1 sits ``offset/2`` above cloud 0 in y (same placement as the
+    keypoints); panels stack at ``2*offset`` intervals. Both raw scans
+    get the reference's ground cut ``z > -5``
+    (``utils/utils_test.py:151-152``). Panel colors: (1) predictions
+    shaded by confidence blue->red, (2) GT green, (3) TP green / FP red.
     """
     kpts0 = np.asarray(kpts0, np.float64)
     kpts1 = np.asarray(kpts1, np.float64)
     matches = np.asarray(matches)
     shift = np.array([0.0, offset, 0.0])
+
+    def cut(pc):
+        if not len(pc):
+            return None
+        pc = np.asarray(pc, np.float64)[:, :3]
+        return pc[pc[:, 2] > -5]                 # utils_test.py:151-152
+
+    bg0, bg1 = cut(pc0), cut(pc1)
 
     def panel(dy, pairs0, pairs1, colors):
         off = np.array([0.0, dy, 0.0])
@@ -63,14 +74,16 @@ def assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt,
         colors = np.asarray(colors, np.float64).reshape(-1, 3)
         line_colors = (colors[np.arange(k) % len(colors)] if k
                        else np.zeros((0, 3)))
-        cloud = (np.asarray(pc0, np.float64)[:, :3] + off
-                 if len(pc0) else None)
+        cloud0 = bg0 + off if bg0 is not None else None
+        cloud1 = bg1 + off + shift / 2 if bg1 is not None else None
         return {
             "spheres0": kpts0 + off,
             "spheres1": kpts1 + off + shift / 2,
             "segments": segments,
             "colors": line_colors,
-            "cloud": cloud,
+            "cloud0": cloud0,
+            "cloud1": cloud1,
+            "cloud": cloud0,
         }
 
     # panel 1: predictions colored by confidence (blue->red)
@@ -131,17 +144,19 @@ def plot_match(pc0, pc1, kpts0, kpts1, mkpts0, mkpts1, mkpts0_gt, mkpts1_gt,
     o3d = _require_o3d()
     panels = assemble_match_panels(pc0, kpts0, kpts1, mkpts0, mkpts1,
                                    mkpts0_gt, mkpts1_gt, matches, mconf,
-                                   true_positive, false_positive, offset)
+                                   true_positive, false_positive, offset,
+                                   pc1=pc1)
     geoms = []
     for p in panels:
         geoms += _spheres(o3d, p["spheres0"], [1, 0, 0])
         geoms += _spheres(o3d, p["spheres1"], [1, 0, 0])
         geoms += _cylinder_lines(o3d, p["segments"], p["colors"],
                                  line_radius)
-        if p["cloud"] is not None:
-            c = o3d.geometry.PointCloud()
-            c.points = o3d.utility.Vector3dVector(p["cloud"])
-            c.paint_uniform_color([0.7, 0.7, 0.7])
-            geoms.append(c)
+        for key in ("cloud0", "cloud1"):
+            if p[key] is not None:
+                c = o3d.geometry.PointCloud()
+                c.points = o3d.utility.Vector3dVector(p[key])
+                c.paint_uniform_color([0.7, 0.7, 0.7])
+                geoms.append(c)
 
     o3d.visualization.draw_geometries(geoms)

@@ -57,6 +57,11 @@ def main():
         params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
 
     test_set = SparseDataset(cfg, "test")
+    if getattr(args, "ship_bf16", False):
+        import ml_dtypes
+        # halve the dominant upload; prepare upcasts to f32 on
+        # device (documented divergence, see README)
+        test_set.desc_dtype = ml_dtypes.bfloat16
     prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
                                cfg.compute_dtype,
                                "float64" if cfg.compute_dtype == "float64"
@@ -147,7 +152,13 @@ def main():
                 tp_mask = (matches > -1) & (matches == gt0)
                 fp_mask = (matches > -1) & (gt0 == -1)   # test.py:280
                 gt_valid = gt0 > -1
-                plot_match([], [], kpts0, kpts1, mkpts0, mkpts1,
+                # pointnet-mode batches carry the raw scans; draw the
+                # panels over them like the reference (test.py:322)
+                pc0 = (np.asarray(batch["cloud0"][b])
+                       if "cloud0" in batch else [])
+                pc1 = (np.asarray(batch["cloud1"][b])
+                       if "cloud1" in batch else [])
+                plot_match(pc0, pc1, kpts0, kpts1, mkpts0, mkpts1,
                            kpts0[gt_valid], kpts1[gt0[gt_valid]],
                            matches, conf[valid], tp_mask, fp_mask,
                            line_radius=args.vis_line_width)

@@ -48,6 +48,11 @@ def main():
         params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
 
     test_set = SparseDataset(cfg, "test")
+    if getattr(args, "ship_bf16", False):
+        import ml_dtypes
+        # halve the dominant upload; prepare upcasts to f32 on
+        # device (documented divergence, see README)
+        test_set.desc_dtype = ml_dtypes.bfloat16
     prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
                                cfg.compute_dtype,
                                "float64" if cfg.compute_dtype == "float64"

@@ -112,6 +112,29 @@ def test_prepare_batch_float16_descriptor_transfer(kitti_root):
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
 
 
+def test_prepare_batch_bfloat16_descriptor_transfer(kitti_root):
+    # --ship_bf16 (eval CLIs): bf16 descriptor shipping for slow links.
+    # prepare upcasts to f32 before normalization; outputs stay close to
+    # the f32-shipped pipeline (bf16 has ~3 decimal digits)
+    import ml_dtypes
+    root, kp_dir = kitti_root
+    cfg = _cfg(root, kp_dir)
+    ds = SparseDataset(cfg, "train")
+    batch32 = next(ds.batches(batch_size=2))
+    ds2 = SparseDataset(cfg, "train")
+    ds2.desc_dtype = ml_dtypes.bfloat16
+    batch = next(ds2.batches(batch_size=2))
+    assert batch["descriptors0"].dtype == ml_dtypes.bfloat16
+    prep = prepare_batch_fn(cfg.threshold, False, "float32", "float32")
+    out = prep(batch)
+    d0 = np.asarray(out["descriptors0"])
+    assert d0.dtype == np.float32
+    norms = np.linalg.norm(d0, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    ref = np.asarray(prep(batch32)["descriptors0"])
+    np.testing.assert_allclose(d0, ref, atol=2e-2)
+
+
 def test_variable_n_padding_with_masks(kitti_root):
     root, kp_dir = kitti_root
     cfg = _cfg(root, kp_dir, ensure_kpts_num=False)

@@ -30,11 +30,11 @@ def _fixture():
                 tp=tp, fp=fp, mconf=mconf)
 
 
-def _panels(f, offset=50.0, pc0=()):
+def _panels(f, offset=50.0, pc0=(), pc1=()):
     return assemble_match_panels(
         pc0, f["kpts0"], f["kpts1"], f["mkpts0"], f["mkpts1"],
         f["mk0_gt"], f["mk1_gt"], f["matches"], f["mconf"],
-        f["tp"], f["fp"], offset=offset)
+        f["tp"], f["fp"], offset=offset, pc1=pc1)
 
 
 def test_panel_counts_and_colors():
@@ -111,6 +111,27 @@ def test_background_cloud_offsets():
     p1, p2, _ = _panels(f, pc0=pc0)
     assert p1["cloud"].shape == (7, 3)
     np.testing.assert_allclose(p2["cloud"][:, 1], 100.0)  # + 2*offset
+
+
+def test_both_clouds_with_ground_cut():
+    """Both raw scans render per panel: cloud1 sits offset/2 above cloud0
+    like the keypoints, and both get the reference's z > -5 ground cut
+    (``utils/utils_test.py:151-152``; clouds forwarded per
+    ``test.py:322``)."""
+    f = _fixture()
+    pc0 = np.zeros((7, 3))
+    pc0[:3, 2] = -10.0                        # cut by the ground filter
+    pc1 = np.full((5, 3), 2.0)
+    p1, p2, _ = _panels(f, pc0=pc0, pc1=pc1)
+    assert p1["cloud0"].shape == (4, 3)       # 3 of 7 ground-cut
+    assert p1["cloud1"].shape == (5, 3)
+    np.testing.assert_allclose(p1["cloud1"][:, 1], 2.0 + 25.0)  # +off/2
+    np.testing.assert_allclose(p2["cloud1"][:, 1], 2.0 + 100.0 + 25.0)
+    # back-compat alias
+    np.testing.assert_allclose(p1["cloud"], p1["cloud0"])
+    # keypoints-only callers still get no clouds
+    pk, _, _ = _panels(f)
+    assert pk["cloud0"] is None and pk["cloud1"] is None
 
 
 def test_open3d_smoke():
