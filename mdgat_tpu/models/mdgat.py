@@ -238,6 +238,7 @@ class MDGAT:
         scores = scores.astype(ot_dtype)
         scores = scores / jnp.asarray(cfg.descriptor_dim, scores.dtype) ** 0.5
 
+        ot_aux = None
         if use_pallas and train:
             from mdgat_tpu.ops.pallas import (
                 pallas_log_optimal_transport_trainable)
@@ -245,17 +246,21 @@ class MDGAT:
                 scores, params["bin_score"].astype(scores.dtype),
                 cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
         elif use_pallas:
+            # eval: the kernel epilogue also emits the match-decision
+            # row/col max/argmax while the transported block is
+            # VMEM-resident — match_decision never re-reads [B,N,M]
             from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
-            ot = pallas_log_optimal_transport(
+            ot, ot_aux = pallas_log_optimal_transport(
                 scores, params["bin_score"].astype(scores.dtype),
-                cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
+                cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1,
+                decision_aux=True)
         else:
             ot = log_optimal_transport(
                 scores, params["bin_score"].astype(scores.dtype),
                 cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
 
         result = match_decision(ot, cfg.loss_method, cfg.match_threshold,
-                                cfg.mutual_check, mask0, mask1)
+                                cfg.mutual_check, mask0, mask1, aux=ot_aux)
 
         out = {
             "matches0": result.matches0,

@@ -36,7 +36,16 @@ def _take(x, idx):
 def match_decision(ot: OTScores, loss_method: str, match_threshold: float,
                    mutual_check: bool,
                    row_mask: Optional[jnp.ndarray] = None,
-                   col_mask: Optional[jnp.ndarray] = None) -> MatchResult:
+                   col_mask: Optional[jnp.ndarray] = None,
+                   aux=None) -> MatchResult:
+    """``aux`` (an ``ops.pallas.OTDecisionAux``) supplies the row/col
+    max/argmax reductions pre-computed by the fused Sinkhorn kernel
+    epilogue, skipping every [B,N,M] pass here. Outputs are identical to
+    the dense path: the kernel's block is masked before transport, so
+    masked entries sit below every valid score in its reductions, and
+    every masked-row/col discrepancy (sentinel -1e30 vs sentinel+u+v) is
+    erased by the final ``rm``/``cm`` forcing and ``exp(-1e30) = 0``
+    (pinned by tests/test_pallas.py aux-parity)."""
     dense, bin_row, bin_col = ot.dense, ot.bin_row, ot.bin_col
     b, n, m = dense.shape
     dt = dense.dtype
@@ -44,17 +53,22 @@ def match_decision(ot: OTScores, loss_method: str, match_threshold: float,
     if row_mask is not None or col_mask is not None:
         rm = row_mask if row_mask is not None else jnp.ones((b, n), bool)
         cm = col_mask if col_mask is not None else jnp.ones((b, m), bool)
-        dense = jnp.where(rm[:, :, None] & cm[:, None, :], dense, neg)
+        if aux is None:
+            dense = jnp.where(rm[:, :, None] & cm[:, None, :], dense, neg)
         bin_col = jnp.where(rm, bin_col, neg)
         bin_row = jnp.where(cm, bin_row, neg)
     else:
         rm = jnp.ones((b, n), bool)
         cm = jnp.ones((b, m), bool)
 
-    max0v = jnp.max(dense, axis=2)          # best dense score per row
-    idx0 = jnp.argmax(dense, axis=2).astype(jnp.int32)
-    max1v = jnp.max(dense, axis=1)          # best dense score per col
-    idx1 = jnp.argmax(dense, axis=1).astype(jnp.int32)
+    if aux is not None:
+        max0v, idx0 = aux.max0.astype(dt), aux.idx0
+        max1v, idx1 = aux.max1.astype(dt), aux.idx1
+    else:
+        max0v = jnp.max(dense, axis=2)      # best dense score per row
+        idx0 = jnp.argmax(dense, axis=2).astype(jnp.int32)
+        max1v = jnp.max(dense, axis=1)      # best dense score per col
+        idx1 = jnp.argmax(dense, axis=1).astype(jnp.int32)
     arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
     arange_m = jnp.arange(m, dtype=jnp.int32)[None, :]
     zero = jnp.asarray(0, dt)

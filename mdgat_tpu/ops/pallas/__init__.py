@@ -1,4 +1,5 @@
 from mdgat_tpu.ops.pallas.sinkhorn import (
+    OTDecisionAux,
     pallas_log_optimal_transport,
     pallas_log_optimal_transport_trainable,
 )

@@ -25,7 +25,7 @@ and HBM sees one read of (scores, cotangents) and one write of dZ.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +36,26 @@ from mdgat_tpu.ops.transport import OTScores, _big_neg
 
 
 def _kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
-            out_ref, binrow_ref, bincol_ref, corner_ref, *, iters: int,
-            block_e: int):
+            out_ref, binrow_ref, bincol_ref, corner_ref, *aux_refs,
+            iters: int, block_e: int, mask_dense: bool = False,
+            decision_aux: bool = False):
     """``block_e`` batch elements per program, all arrays 3-D [E, N, M]:
     stacking elements widens every VPU sweep (a single [256, 256] block
     under-fills the vector unit — measured 0.95 ms/step for the eval OT at
     batch 64 with E=1), while the per-element bin logsumexps become
-    keepdims reductions over the trailing axes."""
+    keepdims reductions over the trailing axes.
+
+    ``mask_dense``: apply the validity masking (``_prep``'s
+    ``where(mask, scores, neg)``) in-kernel from the row/col marginals
+    (``log_mu/log_nu > neg/2`` iff valid) — the caller ships RAW scores
+    and the XLA-side masked copy (one [B,N,M] HBM write + read) is
+    elided. Bit-identical: the masked entries were ``neg`` before the
+    ``+u+v-norm`` epilogue either way.
+
+    ``decision_aux``: also emit the match-decision reductions over the
+    transported block (row/col max + first-max argmax — torch.max tie
+    semantics, ``models/mdgat.py:442-483``) while it is VMEM-resident,
+    so ``match_decision`` never re-reads the [B,N,M] result from HBM."""
     Z = dense_ref[...]                        # [E, N, M]
     log_mu = logmu_ref[...]                   # [E, N, 1]
     log_nu = lognu_ref[...]                   # [E, 1, M]
@@ -53,6 +66,8 @@ def _kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
     alpha, lmub, lnub, norm = col(0), col(1), col(2), col(3)
     neg = jnp.asarray(_big_neg(dt), dt)
     half_neg = neg * 0.5
+    if mask_dense:
+        Z = jnp.where((log_mu > half_neg) & (log_nu > half_neg), Z, neg)
 
     u0 = jnp.where(log_mu > half_neg, jnp.zeros_like(log_mu), neg)
     v0 = jnp.where(log_nu > half_neg, jnp.zeros_like(log_nu), neg)
@@ -91,14 +106,43 @@ def _kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
 
     u, ubin, v, vbin = jax.lax.fori_loop(0, iters, body,
                                          (u0, zero, v0, zero))
-    out_ref[...] = Z + u + v - norm
+    out = Z + u + v - norm
+    out_ref[...] = out
     binrow_ref[...] = alpha + ubin + v - norm                 # [E, 1, M]
     bincol_ref[...] = alpha + u + vbin - norm                 # [E, N, 1]
     corner_ref[...] = alpha + ubin + vbin - norm              # [E, 1, 1]
+    if decision_aux:
+        max0_ref, idx0_ref, max1_ref, idx1_ref = aux_refs
+        e, n, m = out.shape
+        big_i = jnp.asarray(max(n, m), jnp.int32)
+        max0 = jnp.max(out, axis=2, keepdims=True)            # [E, N, 1]
+        ii2 = jax.lax.broadcasted_iota(jnp.int32, (e, n, m), 2)
+        idx0_ref[...] = jnp.min(jnp.where(out == max0, ii2, big_i),
+                                axis=2, keepdims=True)
+        max0_ref[...] = max0
+        max1 = jnp.max(out, axis=1, keepdims=True)            # [E, 1, M]
+        ii1 = jax.lax.broadcasted_iota(jnp.int32, (e, n, m), 1)
+        idx1_ref[...] = jnp.min(jnp.where(out == max1, ii1, big_i),
+                                axis=1, keepdims=True)
+        max1_ref[...] = max1
 
 
-def _prep(scores, alpha, row_mask, col_mask):
-    """Masked dense block, marginals, and the SMEM scalar pack [B,1,4]."""
+class OTDecisionAux(NamedTuple):
+    """Match-decision reductions emitted by the fused kernel epilogue
+    (``decision_aux=True``) while the transported block is VMEM-resident:
+    row/col max and FIRST-max argmax of the dense block (torch.max tie
+    semantics, identical to ``jnp.argmax``)."""
+    max0: jnp.ndarray   # [B, N] best dense score per row
+    idx0: jnp.ndarray   # [B, N] int32 argmax per row
+    max1: jnp.ndarray   # [B, M] best dense score per col
+    idx1: jnp.ndarray   # [B, M] int32 argmax per col
+
+
+def _prep(scores, alpha, row_mask, col_mask, build_dense: bool = True):
+    """Marginals + the scalar pack [B,1,4]; ``build_dense`` additionally
+    materializes the XLA-side masked block (the kernels can instead mask
+    in-VMEM from the marginals — ``mask_dense=True`` — skipping one
+    [B,N,M] HBM write + read)."""
     b, n, m = scores.shape
     dt = scores.dtype
     neg = _big_neg(dt)
@@ -110,8 +154,11 @@ def _prep(scores, alpha, row_mask, col_mask):
     ns = jnp.sum(row_mask, axis=1).astype(dt)
     ms = jnp.sum(col_mask, axis=1).astype(dt)
     norm = -jnp.log(ns + ms)
-    dense = jnp.where(row_mask[:, :, None] & col_mask[:, None, :], scores,
-                      neg)
+    if build_dense:
+        dense = jnp.where(row_mask[:, :, None] & col_mask[:, None, :],
+                          scores, neg)
+    else:
+        dense = scores
     log_mu = jnp.where(row_mask, norm[:, None], neg)[:, :, None]  # [B,N,1]
     log_nu = jnp.where(col_mask, norm[:, None], neg)[:, None, :]  # [B,1,M]
     a = jnp.broadcast_to(jnp.asarray(alpha, dt), (b,))
@@ -124,14 +171,20 @@ def _prep(scores, alpha, row_mask, col_mask):
 def pallas_log_optimal_transport(scores, alpha, iters: int,
                                  row_mask: Optional[jnp.ndarray] = None,
                                  col_mask: Optional[jnp.ndarray] = None,
-                                 interpret: Optional[bool] = None) -> OTScores:
-    """Drop-in for :func:`log_optimal_transport` (forward only)."""
-    prepped = _prep(scores, alpha, row_mask, col_mask)
-    return _fwd_from_prep(prepped, iters, interpret)
+                                 interpret: Optional[bool] = None,
+                                 decision_aux: bool = False):
+    """Drop-in for :func:`log_optimal_transport` (forward only).
+
+    ``decision_aux=True`` returns ``(OTScores, OTDecisionAux)`` — the
+    match-decision reductions fused into the kernel epilogue."""
+    prepped = _prep(scores, alpha, row_mask, col_mask, build_dense=False)
+    return _fwd_from_prep(prepped, iters, interpret, mask_dense=True,
+                          decision_aux=decision_aux)
 
 
 def _fwd_from_prep(prepped, iters: int,
-                   interpret: Optional[bool] = None) -> OTScores:
+                   interpret: Optional[bool] = None,
+                   mask_dense: bool = False, decision_aux: bool = False):
     """Forward kernel on pre-built (scalars, dense, log_mu, log_nu) — lets
     the custom-VJP forward share ONE _prep with its residuals."""
     if interpret is None:
@@ -148,36 +201,35 @@ def _fwd_from_prep(prepped, iters: int,
     while b % eb != 0:
         eb //= 2
 
-    grid = (b // eb,)
-    out_dense, bin_row, bin_col, corner = pl.pallas_call(
-        functools.partial(_kernel, iters=iters, block_e=eb),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((eb, 1, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, n, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, n, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((eb, n, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, 1, m), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, n, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((eb, 1, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, n, m), dt),
-            jax.ShapeDtypeStruct((b, 1, m), dt),
+    _blk3 = lambda shape: pl.BlockSpec(shape, lambda i: (i, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    out_specs = [_blk3((eb, n, m)), _blk3((eb, 1, m)), _blk3((eb, n, 1)),
+                 _blk3((eb, 1, 1))]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, m), dt),
+        jax.ShapeDtypeStruct((b, 1, m), dt),
+        jax.ShapeDtypeStruct((b, n, 1), dt),
+        jax.ShapeDtypeStruct((b, 1, 1), dt),
+    ]
+    if decision_aux:
+        out_specs += [_blk3((eb, n, 1)), _blk3((eb, n, 1)),
+                      _blk3((eb, 1, m)), _blk3((eb, 1, m))]
+        out_shape += [
             jax.ShapeDtypeStruct((b, n, 1), dt),
-            jax.ShapeDtypeStruct((b, 1, 1), dt),
-        ],
+            jax.ShapeDtypeStruct((b, n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, m), dt),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.int32),
+        ]
+
+    grid = (b // eb,)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, iters=iters, block_e=eb,
+                          mask_dense=mask_dense, decision_aux=decision_aux),
+        grid=grid,
+        in_specs=[_blk3((eb, 1, 4)), _blk3((eb, n, m)), _blk3((eb, n, 1)),
+                  _blk3((eb, 1, m))],
+        out_specs=out_specs,
+        out_shape=out_shape,
         # eb=1 at the N=1024 stretch config holds ~17 MB of [N,M] blocks —
         # over the default VMEM cap but fine on this chip (the backward
         # has run 21 MB programs; see probe_sinkhorn_eb/probe_sinkhorn_n1024)
@@ -186,14 +238,20 @@ def _fwd_from_prep(prepped, iters: int,
         interpret=interpret,
     )(scalars, dense, log_mu, log_nu)
 
-    return OTScores(out_dense, bin_row[:, 0, :], bin_col[:, :, 0],
-                    corner[:, 0, 0])
+    out_dense, bin_row, bin_col, corner = outs[:4]
+    ot = OTScores(out_dense, bin_row[:, 0, :], bin_col[:, :, 0],
+                  corner[:, 0, 0])
+    if decision_aux:
+        max0, idx0, max1, idx1 = outs[4:]
+        return ot, OTDecisionAux(max0[:, :, 0], idx0[:, :, 0],
+                                 max1[:, 0, :], idx1[:, 0, :])
+    return ot
 
 
 def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
                 do_ref, dbr_ref, dbc_ref, dcorner_ref,
                 dz_ref, dalpha_ref, vhist_ref, vbinhist_ref, *, iters: int,
-                block_e: int):
+                block_e: int, mask_dense: bool = False):
     """Replay the forward iterations, then walk the adjoint recursion.
 
     Exact reverse-mode differentiation of the unrolled Sinkhorn loop
@@ -221,6 +279,8 @@ def _bwd_kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
     alpha, lmub, lnub = col(0), col(1), col(2)
     neg = jnp.asarray(_big_neg(dt), dt)
     half_neg = neg * 0.5
+    if mask_dense:
+        Z = jnp.where((log_mu > half_neg) & (log_nu > half_neg), Z, neg)
     zero = jnp.zeros((block_e, 1, 1), dt)
 
     # ---- forward replay, storing the v-side history (index 0 = init) ----
@@ -335,7 +395,7 @@ _BWD_EB_BUDGET = 10 * 2 ** 20
 
 
 def _bwd_call(scalars, dense, log_mu, log_nu, g: OTScores,
-              interpret: bool, iters: int):
+              interpret: bool, iters: int, mask_dense: bool = False):
     b, n, m = dense.shape
     dt = dense.dtype
     # ~5 live [E, n, m]-sized f32 buffers per reverse step (Z, dO-in-dz,
@@ -356,7 +416,8 @@ def _bwd_call(scalars, dense, log_mu, log_nu, g: OTScores,
     spec_11 = pl.BlockSpec((eb, 1, 1), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     dz, dalpha = pl.pallas_call(
-        functools.partial(_bwd_kernel, iters=iters, block_e=eb),
+        functools.partial(_bwd_kernel, iters=iters, block_e=eb,
+                          mask_dense=mask_dense),
         grid=(b // eb,),
         in_specs=[spec_sc, spec_nm, spec_n1, spec_1m,
                   spec_nm, spec_1m, spec_n1, spec_11],
@@ -383,8 +444,10 @@ def _ot_trainable(iters: int, interpret: bool, scores, alpha,
 
 
 def _ot_trainable_fwd(iters, interpret, scores, alpha, row_mask, col_mask):
-    prepped = _prep(scores, alpha, row_mask, col_mask)
-    out = _fwd_from_prep(prepped, iters, interpret)
+    # raw scores + in-kernel masking: the residual IS the score tensor
+    # (no separate masked [B,N,M] copy lives to the backward)
+    prepped = _prep(scores, alpha, row_mask, col_mask, build_dense=False)
+    out = _fwd_from_prep(prepped, iters, interpret, mask_dense=True)
     scalars, dense, log_mu, log_nu = prepped
     return out, (scalars, dense, log_mu, log_nu, row_mask, col_mask,
                  jnp.shape(alpha))
@@ -394,7 +457,7 @@ def _ot_trainable_bwd(iters, interpret, res, g):
     import numpy as np
     scalars, dense, log_mu, log_nu, row_mask, col_mask, a_shape = res
     dz, dalpha = _bwd_call(scalars, dense, log_mu, log_nu, g,
-                           interpret, iters)
+                           interpret, iters, mask_dense=True)
     valid = row_mask[:, :, None] & col_mask[:, None, :]
     dscores = jnp.where(valid, dz, 0).astype(dense.dtype)
     da = jnp.sum(dalpha).reshape(a_shape)

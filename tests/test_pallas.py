@@ -853,3 +853,47 @@ def test_sweep_bf16_gate(monkeypatch):
         kept = sb[r] >= thr_b[r]
         # every entry at or above the bf16 k-th value is kept
         assert ((sb[r] >= kth) & valid[r] <= kept).all(), r
+
+
+def test_pallas_sinkhorn_decision_aux_parity():
+    """The kernel-epilogue decision reductions (decision_aux=True) must
+    (a) equal jnp max/argmax of the emitted dense block and (b) drive
+    match_decision to the IDENTICAL MatchResult as the dense path —
+    including masked rows/cols, tie-first-index semantics, and the
+    batch-global zero-score quirk."""
+    from mdgat_tpu.ops.matching import match_decision
+    from mdgat_tpu.ops.pallas import OTDecisionAux
+
+    rng = np.random.default_rng(301)
+    scores = np.asarray(rng.normal(size=(4, 16, 24)), np.float32)
+    scores[0, 3, :] = scores[0, 3, 5]        # whole-row tie: first index
+    scores[1, :, 7] = scores[1, 2, 7]        # whole-col tie
+    rm = rng.random((4, 16)) < 0.8
+    cm = rng.random((4, 24)) < 0.8
+    rm[2, :] = False                          # an all-masked example row set
+    scoresj, rmj, cmj = map(jnp.asarray, (scores, rm, cm))
+
+    ot, aux = pallas_log_optimal_transport(
+        scoresj, 0.5, 10, row_mask=rmj, col_mask=cmj, interpret=True,
+        decision_aux=True)
+    assert isinstance(aux, OTDecisionAux)
+    np.testing.assert_array_equal(np.asarray(aux.max0),
+                                  np.asarray(ot.dense).max(2))
+    np.testing.assert_array_equal(np.asarray(aux.idx0),
+                                  np.asarray(ot.dense).argmax(2))
+    np.testing.assert_array_equal(np.asarray(aux.max1),
+                                  np.asarray(ot.dense).max(1))
+    np.testing.assert_array_equal(np.asarray(aux.idx1),
+                                  np.asarray(ot.dense).argmax(1))
+    # plain call without aux returns the identical OTScores
+    ot2 = pallas_log_optimal_transport(scoresj, 0.5, 10, row_mask=rmj,
+                                       col_mask=cmj, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ot.dense), np.asarray(ot2.dense))
+
+    for loss_method in ("gap_loss", "superglue"):
+        for mutual in (False, True):
+            ref = match_decision(ot, loss_method, 0.2, mutual, rmj, cmj)
+            got = match_decision(ot, loss_method, 0.2, mutual, rmj, cmj,
+                                 aux=aux)
+            for a, b in zip(ref, got):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
