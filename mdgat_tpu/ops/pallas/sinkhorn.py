@@ -34,6 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mdgat_tpu.ops.transport import OTScores, _big_neg
 
+# Chip A/B gates (probe_gate_ab pokes these like the attention gates).
+# _DECISION_AUX: emit the match-decision reductions from the kernel
+# epilogue (callers fall back to the XLA dense-path decision when off).
+# _MASK_DENSE: mask the score block in-VMEM from the marginals instead of
+# shipping a pre-masked copy (off restores the XLA-side where()).
+_DECISION_AUX = True
+_MASK_DENSE = True
+
 
 def _kernel(scalars_ref, dense_ref, logmu_ref, lognu_ref,
             out_ref, binrow_ref, bincol_ref, corner_ref, *aux_refs,
@@ -176,10 +184,16 @@ def pallas_log_optimal_transport(scores, alpha, iters: int,
     """Drop-in for :func:`log_optimal_transport` (forward only).
 
     ``decision_aux=True`` returns ``(OTScores, OTDecisionAux)`` — the
-    match-decision reductions fused into the kernel epilogue."""
-    prepped = _prep(scores, alpha, row_mask, col_mask, build_dense=False)
-    return _fwd_from_prep(prepped, iters, interpret, mask_dense=True,
-                          decision_aux=decision_aux)
+    match-decision reductions fused into the kernel epilogue (or
+    ``(OTScores, None)`` when the ``_DECISION_AUX`` gate is off; callers
+    fall back to the XLA dense-path decision)."""
+    prepped = _prep(scores, alpha, row_mask, col_mask,
+                    build_dense=not _MASK_DENSE)
+    out = _fwd_from_prep(prepped, iters, interpret, mask_dense=_MASK_DENSE,
+                         decision_aux=decision_aux and _DECISION_AUX)
+    if decision_aux and not _DECISION_AUX:
+        return out, None
+    return out
 
 
 def _fwd_from_prep(prepped, iters: int,
@@ -446,8 +460,9 @@ def _ot_trainable(iters: int, interpret: bool, scores, alpha,
 def _ot_trainable_fwd(iters, interpret, scores, alpha, row_mask, col_mask):
     # raw scores + in-kernel masking: the residual IS the score tensor
     # (no separate masked [B,N,M] copy lives to the backward)
-    prepped = _prep(scores, alpha, row_mask, col_mask, build_dense=False)
-    out = _fwd_from_prep(prepped, iters, interpret, mask_dense=True)
+    prepped = _prep(scores, alpha, row_mask, col_mask,
+                    build_dense=not _MASK_DENSE)
+    out = _fwd_from_prep(prepped, iters, interpret, mask_dense=_MASK_DENSE)
     scalars, dense, log_mu, log_nu = prepped
     return out, (scalars, dense, log_mu, log_nu, row_mask, col_mask,
                  jnp.shape(alpha))
@@ -457,7 +472,7 @@ def _ot_trainable_bwd(iters, interpret, res, g):
     import numpy as np
     scalars, dense, log_mu, log_nu, row_mask, col_mask, a_shape = res
     dz, dalpha = _bwd_call(scalars, dense, log_mu, log_nu, g,
-                           interpret, iters, mask_dense=True)
+                           interpret, iters, mask_dense=_MASK_DENSE)
     valid = row_mask[:, :, None] & col_mask[:, None, :]
     dscores = jnp.where(valid, dz, 0).astype(dense.dtype)
     da = jnp.sum(dalpha).reshape(a_shape)

@@ -66,13 +66,20 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/.jax_bench_cache")
     import __graft_entry__ as g
     import mdgat_tpu.ops.pallas.attention as A
+    import mdgat_tpu.ops.pallas.sinkhorn as S
     from mdgat_tpu.train import create_train_state, make_train_step
+
+    def gate_mod(name):
+        for mod in (A, S):
+            if hasattr(mod, name):
+                return mod
+        raise AssertionError(
+            f"no gate {name!r} in pallas.attention or pallas.sinkhorn")
 
     defaults = {}
     for arm in arms:
         for name in arm:
-            assert hasattr(A, name), f"no gate {name!r} in pallas.attention"
-            defaults.setdefault(name, getattr(A, name))
+            defaults.setdefault(name, getattr(gate_mod(name), name))
 
     tiny = jax.jit(lambda v: v + 1)
     _ = np.asarray(tiny(jax.numpy.ones(())))
@@ -88,9 +95,9 @@ def main():
     for rep in range(2):              # interleave arms to cancel drift
         for arm in arms:
             for name, val in defaults.items():
-                setattr(A, name, val)
+                setattr(gate_mod(name), name, val)
             for name, val in arm.items():
-                setattr(A, name, val)
+                setattr(gate_mod(name), name, val)
             tag = "+".join(f"{k}={v}" for k, v in arm.items()) or "defaults"
 
             model, params, state, data = g._flagship(
