@@ -35,8 +35,22 @@ BIG_NEG = -1e30
 # halves every step, so 32 steps guarantee hi - lo <= 1, i.e. lo IS the
 # k-th largest key (exact selection regardless of score distribution).
 _BISECT_ITERS_EXACT = 32
-# Float value-bisection steps for the fast path (see fbisect below).
-_BISECT_ITERS_FAST = 14
+# Float value-bisection steps for the fast path (see fbisect below),
+# expressed in binary-pass resolution: the threshold slack is
+# range/2^ITERS and the k-ary loop runs ceil(ITERS/log2(n_mid+1)) slab
+# traversals. Round-5 chip sweep (tools/measure_topk_agreement.py, 256
+# pairs / 65536 match slots, + tools/probe_gate_ab.py interleaved):
+#   ITERS   14   12   11    9    7    5    4     3
+#   flips   54   58   66   52   69   72   76   115   (vs exact kernel)
+#   eval    7.66 7.32 7.01 6.64 6.45 6.17 5.85  5.52  ms/step
+# The bf16 score-computation noise floor (exact-kernel vs XLA top_k on
+# the same inputs) is 129 flips; every ITERS >= 4 sits BELOW it with end
+# metrics identical to 6 decimals, i.e. the selection slack is invisible
+# under the bf16 scores. ITERS=3 is the measured cliff: 115 flips vs
+# exact and 147 vs XLA — the first value above the noise floor. Default
+# 4 (3 ternary traversals), the lowest setting still at the floor;
+# do not lower to 3 without re-measuring agreement (2026-08-19).
+_BISECT_ITERS_FAST = 4
 # k-ary selection (pack several midpoint counts into one int32 traversal —
 # see the selection branches in _stacked_prob). Module-level gate so a
 # real-chip A/B (or a Mosaic toolchain regression on the packed int32

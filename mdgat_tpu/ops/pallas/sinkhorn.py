@@ -37,9 +37,18 @@ from mdgat_tpu.ops.transport import OTScores, _big_neg
 # Chip A/B gates (probe_gate_ab pokes these like the attention gates).
 # _DECISION_AUX: emit the match-decision reductions from the kernel
 # epilogue (callers fall back to the XLA dense-path decision when off).
+# MEASURED LOSER 2026-08-19 (probe_gate_ab, 2x2 interleaved reps): fused
+# epilogue 7.57/7.61 ms/step eval vs XLA decision 7.41/7.50 at ITERS=14,
+# and 6.21 vs 6.10 at ITERS=5 — the extra epilogue reductions cost more
+# in-kernel than XLA's fused max/argmax re-read of the [B,N,M] block
+# costs in HBM traffic. Default False; kernel + parity test retained
+# (re-probe only after a Mosaic toolchain bump).
+_DECISION_AUX = False
 # _MASK_DENSE: mask the score block in-VMEM from the marginals instead of
 # shipping a pre-masked copy (off restores the XLA-side where()).
-_DECISION_AUX = True
+# Measured keeper, same session: 7.41 (on) vs 7.46 (off) with
+# _DECISION_AUX=False — the in-VMEM mask also drops a [B,N,M] HBM copy
+# from the eval graph, so it stays on.
 _MASK_DENSE = True
 
 

@@ -11,6 +11,21 @@ from mdgat_tpu.ops.pallas import (
     pallas_log_optimal_transport, pallas_topk_attention,
 )
 
+
+@pytest.fixture
+def fine_select(monkeypatch):
+    """Pin the fast-selection resolution to 14 bisection steps for
+    strict toy-shape parity tests. The shipped default (4) is tuned for
+    the real shape, where its range/2^4 threshold slack sits below the
+    bf16 score-noise floor (chip sweep table in pallas/attention.py);
+    at a ~24-key toy with f32 scores the same slack admits a visibly
+    different kept set, which is the documented contract (superset of
+    top-k within slack — see test_fast_select_slack_at_default_iters),
+    not an error these bit-level mechanics tests should fail on."""
+    import mdgat_tpu.ops.pallas.attention as A
+    monkeypatch.setattr(A, "_BISECT_ITERS_FAST", 14)
+
+
 def test_pallas_sinkhorn_matches_xla():
     rng = np.random.default_rng(201)
     scores = jnp.asarray(rng.normal(size=(3, 16, 24)), jnp.float32)
@@ -175,7 +190,7 @@ def test_pallas_sinkhorn_trainable_vmem_fallback():
 
 
 @pytest.mark.parametrize("topk", [None, 6])
-def test_pallas_attention_matches_xla(topk):
+def test_pallas_attention_matches_xla(topk, fine_select):
     rng = np.random.default_rng(206)
     q = jnp.asarray(rng.normal(size=(2, 2, 16, 8)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(2, 2, 24, 8)), jnp.float32)
@@ -189,7 +204,7 @@ def test_pallas_attention_matches_xla(topk):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_topk_threshold_is_bit_exact():
+def test_pallas_topk_threshold_is_bit_exact(fine_select):
     """The integer-key bisection returns the k-th largest score BIT
     EXACTLY, including 1-ulp gaps and exact duplicates at the boundary
     (head_dim 1 with unit queries makes scores equal k's values exactly,
@@ -224,6 +239,32 @@ def test_pallas_topk_threshold_is_bit_exact():
         assert expect - tf <= (vals.max() - vals.min()) / 2 ** 13 + 1e-6
 
 
+def test_fast_select_slack_at_default_iters():
+    """The SHIPPED fast-selection default must honour its contract: the
+    threshold converges to the k-th value from BELOW (kept set is a
+    superset of the true top-k) within range/2^(ITERS-1) slack. This is
+    the contract the chip agreement sweep validated at the real shape
+    (flips below the bf16 noise floor); the resolution itself is a tuned
+    constant, so this test reads it instead of hard-coding 4."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    m = 128
+    rng = np.random.default_rng(217)
+    vals = (rng.normal(size=(m,)) * 10).astype(np.float32)
+    q = jnp.ones((1, 1, 8, 1), jnp.float32)
+    kk_in = jnp.asarray(vals.reshape(1, 1, m, 1))
+    v = jnp.asarray(rng.normal(size=(1, 1, m, 1)), jnp.float32)
+    desc = np.sort(vals)[::-1]
+    slack = (vals.max() - vals.min()) / 2 ** (A._BISECT_ITERS_FAST - 1)
+    for topk in (1, 10, 64):
+        _, thr = pallas_topk_attention(q, kk_in, v, topk, interpret=True,
+                                       return_threshold=True)
+        tf = np.asarray(thr)[0, 0, 0, 0]
+        expect = desc[topk - 1]
+        assert tf <= expect + 1e-6, (topk, tf, expect)
+        assert expect - tf <= slack + 1e-6, (topk, tf, expect, slack)
+
+
 def test_pallas_topk_threshold_exact_under_mask():
     """Exact k-th value among VALID entries only."""
     m = 64
@@ -242,7 +283,7 @@ def test_pallas_topk_threshold_exact_under_mask():
 
 
 @pytest.mark.parametrize("exact", [False, True])
-def test_pallas_attention_both_paths_match_xla(exact):
+def test_pallas_attention_both_paths_match_xla(exact, fine_select):
     """Both kernel variants reproduce the XLA threshold path on
     well-separated scores; the exact path matches bit-for-bit semantics."""
     rng = np.random.default_rng(209)
@@ -257,7 +298,7 @@ def test_pallas_attention_both_paths_match_xla(exact):
 
 @pytest.mark.parametrize("topk,masked", [(None, False), (6, False),
                                          (6, True)])
-def test_fused_layer_matches_unfused(topk, masked):
+def test_fused_layer_matches_unfused(topk, masked, fine_select):
     """Whole-layer fused kernel (attention + merge + folded-BN MLP +
     residual) == the unfused eval path."""
     import jax
@@ -314,7 +355,7 @@ def test_fused_layer_query_blocking():
                                    rtol=2e-4, atol=2e-5)
 
 
-def test_pallas_attention_masked():
+def test_pallas_attention_masked(fine_select):
     rng = np.random.default_rng(212)
     q = jnp.asarray(rng.normal(size=(1, 2, 8, 8)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(1, 2, 24, 8)), jnp.float32)
@@ -542,7 +583,7 @@ def test_fused_gap_loss_parity(masked):
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_kary_select_gate_matches_binary(monkeypatch):
+def test_kary_select_gate_matches_binary(monkeypatch, fine_select):
     """``_KARY_SELECT=False`` restores the legacy binary selectors: the
     exact path must be BIT-identical across the gate, and the fast path
     must keep the same set (thresholds within the shared interval
@@ -673,7 +714,7 @@ def test_epilogue_gate_variants_agree(monkeypatch):
             np.testing.assert_allclose(p1[rows].sum(1), 1.0, rtol=1e-5)
 
 
-def test_pack_f32_gate_matches_int(monkeypatch):
+def test_pack_f32_gate_matches_int(monkeypatch, fine_select):
     """``_PACK_F32`` flips the fast path between f32-mantissa-packed
     ternary and int32-packed quaternary selection. Both must keep a
     superset of the true top-k with the same near-tie slack scale: same
@@ -752,7 +793,7 @@ def test_pack_f32_fast_selection_fuzz(monkeypatch):
         assert kept[true_topk].all(), (trial, m, k)
 
 
-def test_sel_width_gate_matches(monkeypatch):
+def test_sel_width_gate_matches(monkeypatch, fine_select):
     """``_SEL_WIDTH=4`` (pentary, two packed-f32 accumulators per
     traversal) must behave like the default ternary selector: kept set a
     superset of the true top-k, same kept sets on tie-free scores,
@@ -855,14 +896,19 @@ def test_sweep_bf16_gate(monkeypatch):
         assert ((sb[r] >= kth) & valid[r] <= kept).all(), r
 
 
-def test_pallas_sinkhorn_decision_aux_parity():
+def test_pallas_sinkhorn_decision_aux_parity(monkeypatch):
     """The kernel-epilogue decision reductions (decision_aux=True) must
     (a) equal jnp max/argmax of the emitted dense block and (b) drive
     match_decision to the IDENTICAL MatchResult as the dense path —
     including masked rows/cols, tie-first-index semantics, and the
-    batch-global zero-score quirk."""
+    batch-global zero-score quirk. The fused epilogue measured ~2%
+    SLOWER than the XLA decision on-chip so its gate defaults off; the
+    kernel stays covered here under a forced gate."""
+    import mdgat_tpu.ops.pallas.sinkhorn as S
     from mdgat_tpu.ops.matching import match_decision
     from mdgat_tpu.ops.pallas import OTDecisionAux
+
+    monkeypatch.setattr(S, "_DECISION_AUX", True)
 
     rng = np.random.default_rng(301)
     scores = np.asarray(rng.normal(size=(4, 16, 24)), np.float32)
