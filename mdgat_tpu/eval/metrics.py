@@ -299,7 +299,22 @@ def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt, fit_rows=None):
     redo = (n_valid > 0) & ((n_valid <= 3) | degenerate | svd_fail)
     for i in np.nonzero(redo)[0]:
         sel = valid[i]
-        pm = pose_metrics(kpts0[i][sel], g1[i][sel], np.asarray(T_gt[i]))
+        try:
+            pm = pose_metrics(kpts0[i][sel], g1[i][sel],
+                              np.asarray(T_gt[i]))
+        except np.linalg.LinAlgError:
+            # non-convergent even in the per-pair recompute (svd_fail
+            # rows land here when both SVD calls diverge): record a
+            # failed fit instead of aborting the whole eval batch — nan
+            # errors gate every downstream `< threshold` comparison to
+            # a registration fail, and the reference itself would crash
+            # on this pair (same divergence class as the empty-match
+            # case in the docstring).
+            T[i] = np.eye(4)
+            inlier[i] = 0
+            rte[i] = np.nan
+            rre[i] = np.nan
+            continue
         T[i] = pm["T"]
         inlier[i] = pm["inlier"]
         rte[i] = pm["trans_error"]

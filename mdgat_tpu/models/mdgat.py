@@ -246,9 +246,11 @@ class MDGAT:
                 scores, params["bin_score"].astype(scores.dtype),
                 cfg.sinkhorn_iterations, row_mask=mask0, col_mask=mask1)
         elif use_pallas:
-            # eval: the kernel epilogue also emits the match-decision
-            # row/col max/argmax while the transported block is
-            # VMEM-resident — match_decision never re-reads [B,N,M]
+            # eval: decision_aux=True REQUESTS the fused match-decision
+            # epilogue, but the kernel only honours it under its
+            # _DECISION_AUX gate — which ships OFF (chip-measured loser,
+            # see ops/pallas/sinkhorn.py) — so ot_aux is None in
+            # production and match_decision takes its XLA dense path
             from mdgat_tpu.ops.pallas import pallas_log_optimal_transport
             ot, ot_aux = pallas_log_optimal_transport(
                 scores, params["bin_score"].astype(scores.dtype),

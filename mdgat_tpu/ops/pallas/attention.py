@@ -51,6 +51,25 @@ _BISECT_ITERS_EXACT = 32
 # 4 (3 ternary traversals), the lowest setting still at the floor;
 # do not lower to 3 without re-measuring agreement (2026-08-19).
 _BISECT_ITERS_FAST = 4
+# The ITERS=4 justification is SPECIFIC to bf16 pipelines: the sweep's
+# "flips sit below the noise floor" argument needs bf16 score rounding
+# to SUPPLY that floor. An f32 pipeline (the CLI default --platform
+# runs: compute_dtype=float32, core/config.py) has no such noise to
+# hide the range/2^4 slack, and no f32 agreement study was run — so f32
+# kernels keep the parity-grade 14-pass resolution all the round-1..4
+# agreement/end-metric measurements used. Selection resolution is keyed
+# per kernel on the IO dtype of the score inputs via _fast_iters().
+_BISECT_ITERS_F32 = 14
+
+
+def _fast_iters(io_dtype) -> int:
+    """Fast-path bisection resolution for a kernel whose score inputs
+    (q/k or x/source, BEFORE the in-kernel f32 upcast) have
+    ``io_dtype``. Reads the module globals at trace time so the A/B
+    probes' monkeypatching keeps working."""
+    if np.dtype(io_dtype) == np.dtype(jnp.bfloat16):
+        return _BISECT_ITERS_FAST
+    return max(_BISECT_ITERS_FAST, _BISECT_ITERS_F32)
 # k-ary selection (pack several midpoint counts into one int32 traversal —
 # see the selection branches in _stacked_prob). Module-level gate so a
 # real-chip A/B (or a Mosaic toolchain regression on the packed int32
@@ -167,7 +186,8 @@ def _key_to_float(key):
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
-def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
+def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool,
+                  fine_iters=None):
     """Stacked scores [R, M] (masked entries already BIG_NEG) -> the
     UNNORMALIZED top-k / dense masked softmax weights ``e`` [R, M] plus
     the per-row inverse denominator ``inv`` [R, 1] (probabilities are
@@ -342,7 +362,11 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool):
                      if (kary_here and bits <= 15) else 1)
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
-        iters = int(np.ceil(_BISECT_ITERS_FAST / np.log2(n_mid + 1)))
+        # (callers pass fine_iters keyed on their IO dtype — bf16
+        # pipelines get _BISECT_ITERS_FAST, f32 the parity resolution)
+        if fine_iters is None:
+            fine_iters = _BISECT_ITERS_FAST
+        iters = int(np.ceil(fine_iters / np.log2(n_mid + 1)))
         # counts are pinned f32 on the packed-float path (NOT the score
         # dtype: the 2*bits <= 24 bound above is the f32 mantissa — a
         # bf16/f16 score dtype would silently corrupt packed counts)
@@ -480,7 +504,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, t_ref, *, topk: int,
     del kv_mask
 
     e, inv, thr, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                   has_mask=has_mask)
+                                   has_mask=has_mask,
+                                   fine_iters=_fast_iters(q_ref.dtype))
     for b in range(block_b):
         for h in range(num_heads):
             v = v_ref[b, h].astype(dt)     # [M, D]
@@ -542,7 +567,8 @@ def _layer_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         s = jnp.where(valid, s, neg)
 
     e, inv, _, _ = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                 has_mask=has_mask)
+                                 has_mask=has_mask,
+                                 fine_iters=_fast_iters(x_ref.dtype))
 
     w1x = w1x_ref[...].astype(dt)
     w1m = w1m_ref[...].astype(dt)
@@ -897,7 +923,8 @@ def _mha_fwd_kernel(x_ref, src_ref, mask_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         s = jnp.where(valid, s, neg)
 
     e, inv, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                     has_mask=has_mask)
+                                     has_mask=has_mask,
+                                     fine_iters=_fast_iters(x_ref.dtype))
     bm = bm_ref[...].astype(dt)
     for b in range(block_b):
         v_full = _dot(src_ref[b].astype(dt), wv) + bv_ref[...].astype(dt)
@@ -1298,7 +1325,8 @@ def _tl_fwd1_kernel(x_ref, src_ref, kvmask_ref, vmask_ref,
         s = jnp.where(valid, s, neg)
 
     e, inv, thr, lse = _stacked_prob(s, valid, topk=topk, exact=exact,
-                                     has_mask=has_mask)
+                                     has_mask=has_mask,
+                                     fine_iters=_fast_iters(x_ref.dtype))
     ssum_acc = jnp.zeros((1, w1x.shape[1]), dt)
     ssq_acc = jnp.zeros((1, w1x.shape[1]), dt)
     for b in range(block_b):

@@ -309,6 +309,42 @@ def test_regmetric_pose_fit_low_match_parity(n_matches):
     assert pm["rot_error"] == pytest.approx(rre_ref, abs=1e-9, nan_ok=True)
 
 
+def test_batched_pose_fit_survives_per_pair_svd_failure(monkeypatch):
+    """A pair whose SVD diverges in BOTH the batched call and the
+    per-pair redo must record a failed fit (nan errors, 0 inliers,
+    identity T) instead of raising out of the batch — and must not
+    disturb the other rows' fits."""
+    import mdgat_tpu.eval.metrics as M
+
+    rng = np.random.default_rng(11)
+    b, n = 2, 8
+    kpts0 = rng.normal(0, 5, (b, n, 3))
+    T_gt = np.stack([_rigid(rng) for _ in range(b)])
+    kpts1 = np.stack([(kpts0[i] - T_gt[i, :3, 3]) @ T_gt[i, :3, :3]
+                      for i in range(b)])
+    matches = np.tile(np.arange(n), (b, 1))
+    valid = np.ones((b, n), bool)
+    valid[1, 3:] = False          # row 1: 3 matches -> forced redo path
+
+    T0, inl0, rte0, rre0 = M._batched_pose_fit(
+        matches, kpts0, kpts1, valid, T_gt)
+    assert np.isfinite(rte0).all() and np.isfinite(rre0).all()
+
+    def raising_pose_metrics(*a, **k):
+        raise np.linalg.LinAlgError("SVD did not converge")
+
+    monkeypatch.setattr(M, "pose_metrics", raising_pose_metrics)
+    T, inl, rte, rre = M._batched_pose_fit(
+        matches, kpts0, kpts1, valid, T_gt)
+    # row 0 never enters the redo loop: identical to the unpatched run
+    np.testing.assert_allclose(T[0], T0[0])
+    assert inl[0] == inl0[0] and rte[0] == rte0[0] and rre[0] == rre0[0]
+    # row 1's recompute "diverged": recorded as a failed fit, not a raise
+    np.testing.assert_array_equal(T[1], np.eye(4))
+    assert inl[1] == 0
+    assert np.isnan(rte[1]) and np.isnan(rre[1])
+
+
 def _ref_regmetric_loop(cases):
     """Straight port of test_registration_metric.py:230-286."""
     meters = {k: AverageMeter() for k in
