@@ -6,9 +6,14 @@ three ways — fast value-bisection kernel, exact integer-key kernel, and
 the XLA top_k threshold path — and reports match-decision agreement plus
 the end-metric deltas (precision/recall over synthetic GT).
 
-Usage: python tools/measure_topk_agreement.py [n_batches] [--iters V ...]
-``--iters`` adds one fast arm per _BISECT_ITERS_FAST value (the module
-default otherwise). Results are pinned in docs/DESIGN.md; rerun after
+Usage: python tools/measure_topk_agreement.py [n_batches]
+           [--dtype float32|bfloat16] [--iters V ...]
+``--iters`` adds one fast arm per bisection-resolution value (sweep arms
+pin BOTH _BISECT_ITERS_FAST and _BISECT_ITERS_F32 to V so the dtype
+keying in ``_fast_iters`` cannot override the sweep; the plain "fast"
+arm runs the shipped per-dtype default). ``--dtype`` selects the
+pipeline compute dtype — bfloat16 is the flagship/bench path, float32
+the CLI default. Results are pinned in docs/DESIGN.md; rerun after
 kernel changes.
 """
 
@@ -19,7 +24,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main(n_batches: int = 4, iters_values=()):
+def main(n_batches: int = 4, iters_values=(), dtype: str = "bfloat16"):
     import jax
     import jax.numpy as jnp
     from mdgat_tpu.core.config import train_defaults
@@ -33,8 +38,11 @@ def main(n_batches: int = 4, iters_values=()):
         "exact": dict(pallas_attention=True, pallas_exact_topk=True),
         "xla": dict(pallas_attention=False),
     }
-    default_iters = A._BISECT_ITERS_FAST
-    fast_iters = {"fast": default_iters}
+    default_fast = A._BISECT_ITERS_FAST
+    default_f32 = A._BISECT_ITERS_F32
+    default_iters = A._fast_iters(
+        jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
+    fast_iters = {"fast": None}  # None = shipped per-dtype default
     for v in iters_values:
         if v != default_iters:
             name = f"fast@{v}"
@@ -46,11 +54,15 @@ def main(n_batches: int = 4, iters_values=()):
 
     for i in range(n_batches):
         _, params, state, batch = _flagship(
-            compute_dtype="bfloat16", param_dtype="float32",
+            compute_dtype=dtype, param_dtype="float32",
             n=256, batch=64, seed=100 + i)
         for name, overrides in variants.items():
-            A._BISECT_ITERS_FAST = fast_iters.get(name, default_iters)
-            cfg = train_defaults(compute_dtype="bfloat16",
+            v = fast_iters.get(name)
+            # sweep arms pin BOTH constants so _fast_iters returns v for
+            # either dtype; the "fast"/exact/xla arms run shipped values
+            A._BISECT_ITERS_FAST = default_fast if v is None else v
+            A._BISECT_ITERS_F32 = default_f32 if v is None else v
+            cfg = train_defaults(compute_dtype=dtype,
                                  param_dtype="float32",
                                  max_keypoints=256, batch_size=64,
                                  **overrides)
@@ -85,7 +97,7 @@ def main(n_batches: int = 4, iters_values=()):
             continue
         mf = np.concatenate([m.ravel() for m in matches[name]])
         print(f"{name}-vs-exact (same scores, iters="
-              f"{fast_iters[name]}): agreement "
+              f"{fast_iters[name] or default_iters}): agreement "
               f"{float((mf == me).mean()):.6f} "
               f"({int((mf != me).sum())} / {n} differ)")
 
@@ -93,8 +105,13 @@ def main(n_batches: int = 4, iters_values=()):
 if __name__ == "__main__":
     args = sys.argv[1:]
     it_vals = []
+    dtype = "bfloat16"
+    if "--dtype" in args:
+        k = args.index("--dtype")
+        dtype = args[k + 1]
+        args = args[:k] + args[k + 2:]
     if "--iters" in args:
         k = args.index("--iters")
         it_vals = [int(v) for v in args[k + 1:]]
         args = args[:k]
-    main(int(args[0]) if args else 4, it_vals)
+    main(int(args[0]) if args else 4, it_vals, dtype)
