@@ -52,14 +52,20 @@ _BISECT_ITERS_EXACT = 32
 # do not lower to 3 without re-measuring agreement (2026-08-19).
 _BISECT_ITERS_FAST = 4
 # The ITERS=4 justification is SPECIFIC to bf16 pipelines: the sweep's
-# "flips sit below the noise floor" argument needs bf16 score rounding
-# to SUPPLY that floor. An f32 pipeline (the CLI default --platform
-# runs: compute_dtype=float32, core/config.py) has no such noise to
-# hide the range/2^4 slack, and no f32 agreement study was run — so f32
-# kernels keep the parity-grade 14-pass resolution all the round-1..4
-# agreement/end-metric measurements used. Selection resolution is keyed
-# per kernel on the IO dtype of the score inputs via _fast_iters().
-_BISECT_ITERS_F32 = 14
+# "flips sit below the noise floor" argument needs score-computation
+# noise to SUPPLY that floor, and bf16 rounding is much coarser than
+# f32. An f32 pipeline (the CLI default: compute_dtype=float32,
+# core/config.py) has its own, smaller floor — f32 reassociation: the
+# exact int-key kernel vs XLA top_k on the SAME f32 scores differ on
+# 52 of 65536 match slots (tools/measure_topk_agreement.py --dtype
+# float32, 256 pairs, 2026-08-19). The f32 sweep against that floor:
+#   ITERS    14   9    5    4
+#   flips    48   47   46   59   (vs exact kernel, same scores)
+# ITERS >= 5 sits below the 52-flip floor (precision/recall equal to 6
+# decimals); 4 is the first value above it. f32 therefore ships 5 — one
+# notch more resolution than bf16's 4, by the same measured-floor rule.
+# Do not lower without re-running the f32 study.
+_BISECT_ITERS_F32 = 5
 
 
 def _fast_iters(io_dtype) -> int:
@@ -362,8 +368,8 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool,
                      if (kary_here and bits <= 15) else 1)
         base = 1 << bits
         # iterations for >= the binary path's range/2^ITERS resolution
-        # (callers pass fine_iters keyed on their IO dtype — bf16
-        # pipelines get _BISECT_ITERS_FAST, f32 the parity resolution)
+        # (callers pass fine_iters keyed on their IO dtype — each dtype
+        # ships the lowest resolution below its own score-noise floor)
         if fine_iters is None:
             fine_iters = _BISECT_ITERS_FAST
         iters = int(np.ceil(fine_iters / np.log2(n_mid + 1)))

@@ -245,10 +245,11 @@ def test_fast_select_slack_at_default_iters(dtype):
     threshold converges to the k-th value from BELOW (kept set is a
     superset of the true top-k) within range/2^(ITERS-1) slack, where
     ITERS is keyed on the pipeline dtype (``_fast_iters``): bf16 inputs
-    get the chip-swept _BISECT_ITERS_FAST (its flips sit below the bf16
-    score-noise floor), f32 inputs the parity-grade _BISECT_ITERS_F32
-    (no rounding noise exists to hide a coarser slack). The resolutions
-    are tuned constants, so this test reads them instead of hard-coding."""
+    get the chip-swept _BISECT_ITERS_FAST (flips below the bf16
+    score-rounding floor), f32 inputs _BISECT_ITERS_F32 (flips below
+    the finer f32 reassociation floor — its own on-chip study). The
+    resolutions are tuned constants, so this test reads them instead of
+    hard-coding."""
     import mdgat_tpu.ops.pallas.attention as A
 
     m = 128
