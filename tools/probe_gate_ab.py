@@ -3,9 +3,14 @@
 ``mdgat_tpu.ops.pallas.attention``.
 
 Usage: probe_gate_ab.py GATE VALUE [VALUE ...] [--train]
+           [--dtype float32|bfloat16]
    or: probe_gate_ab.py --arms 'G1=V1+G2=V2' 'G1=V3' ... [--train]
        (each arm sets several gates at once; gates omitted from an arm
        keep their module defaults — arms reset before applying)
+
+``--dtype`` sets the pipeline compute dtype (default bfloat16, the
+bench config); float32 probes the CLI-default pipeline, whose kernels
+key their selection resolution on _BISECT_ITERS_F32.
 
 Times the eval forward at the bench config (batch 64, N 256) — and,
 with ``--train``, the train step at the reference config (batch 64,
@@ -56,6 +61,11 @@ def _parse_arm(spec):
 def main():
     argv = [a for a in sys.argv[1:] if a != "--train"]
     do_train = "--train" in sys.argv[1:]
+    dtype = "bfloat16"
+    if "--dtype" in argv:
+        k = argv.index("--dtype")
+        dtype = argv[k + 1]
+        argv = argv[:k] + argv[k + 2:]
     if argv and argv[0] == "--arms":
         arms = [_parse_arm(a) for a in argv[1:]]
     else:
@@ -101,7 +111,7 @@ def main():
             tag = "+".join(f"{k}={v}" for k, v in arm.items()) or "defaults"
 
             model, params, state, data = g._flagship(
-                compute_dtype="bfloat16", batch=64, n=256)
+                compute_dtype=dtype, batch=64, n=256)
 
             def forward(p, s, b):
                 out, _ = model.apply(p, s, b, train=False)
@@ -123,7 +133,7 @@ def main():
             tr = float("nan")
             if do_train:
                 tmodel, _, _, tdata = g._flagship(
-                    compute_dtype="bfloat16", param_dtype="float32",
+                    compute_dtype=dtype, param_dtype="float32",
                     n=512, batch=64, remat_gnn=True, scan_gnn_pairs=False)
                 ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0),
                                             1e-4)
