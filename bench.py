@@ -254,11 +254,11 @@ def main():
                      "benchmark could not run",
             # context, NOT a measurement from this run: the most recent
             # successful run of THIS benchmark on the real chip
-            # (docs/DESIGN.md perf progression; 2026-08-17, pre the
-            # still-unmeasured k-ary/deferred-norm forward reductions)
+            # (docs/DESIGN.md round-5 headline; third consecutive run
+            # after the ITERS=4 selection cut + dtype keying)
             "last_successful_run": {
-                "value": 8414.0, "unit": "pairs/s", "date": "2026-08-17",
-                "note": "see BENCH_r02.json and docs/DESIGN.md",
+                "value": 10884.0, "unit": "pairs/s", "date": "2026-08-19",
+                "note": "see docs/DESIGN.md 'Round-5' headline",
             },
         }))
         return
