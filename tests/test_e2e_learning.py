@@ -85,6 +85,25 @@ def test_testpy_precision_beats_random_init(trained_checkpoint):
         f"trained {p_trained} vs random-init {p_random}")
 
 
+def test_ship_bf16_flip_tool(trained_checkpoint):
+    """tools/measure_ship_bf16.py (README-cited --ship_bf16 divergence
+    measurement) runs end-to-end: two pipeline passes over the identical
+    pairs, flip accounting consistent, near-tie flip rate bounded (the
+    on-chip study measured 0.17% at the 384-bucket config)."""
+    import json
+    data, ck = trained_checkpoint
+    out = _run(os.path.join("tools", "measure_ship_bf16.py"),
+               ["--train_path", data, "--resume_model", ck,
+                "--max_pairs", "16"], cwd=_REPO)
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["pairs"] == 16
+    assert rec["valid_slots"] > 0
+    assert rec["flips"] == (rec["flips_match_to_unmatch"]
+                            + rec["flips_unmatch_to_match"]
+                            + rec["flips_retargeted"])
+    assert rec["flip_rate_vs_valid"] < 0.01, rec
+
+
 def test_registration_recall_clears_bar(trained_checkpoint):
     data, ck = trained_checkpoint
     out = _run("test_registration_metric.py",
