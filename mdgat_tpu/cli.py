@@ -285,3 +285,15 @@ def maybe_generate_synthetic(cfg: Config, args) -> Config:
         kp_dir = _write()
     return cfg.replace(keypoints_path=kp_dir,
                        txt_path=os.path.join(root, "preprocess-random-full"))
+
+
+def apply_ship_bf16(dataset, args) -> None:
+    """Opt-in ``--ship_bf16``: ship descriptors over the wire as bfloat16
+    to halve the dominant host->device upload; ``prepare_batch_fn``
+    upcasts to f32 on device before normalization (documented divergence,
+    README "Reference divergences"; flip study in
+    tools/measure_ship_bf16.py). Shared by both eval CLIs so the shipping
+    dtype policy lives in exactly one place."""
+    if getattr(args, "ship_bf16", False):
+        import ml_dtypes
+        dataset.desc_dtype = ml_dtypes.bfloat16

@@ -92,4 +92,16 @@ def machine_keyed_cache_dir(base: str = None) -> str:
     sig = "|".join([_platform.machine(), boot_id] +
                    (sig_lines or [_platform.processor()]))
     tag = hashlib.sha256(sig.encode()).hexdigest()[:10]
-    return f"{base}/.jax_cache_cpu_{tag}"
+    path = f"{base}/.jax_cache_cpu_{tag}"
+    # Prune sibling dirs from earlier boots: the boot_id in the key makes
+    # them unreachable by construction, so they are pure disk leakage
+    # (one full CPU-AOT cache per boot otherwise).
+    try:
+        import glob
+        import shutil
+        for old in glob.glob(f"{base}/.jax_cache_cpu_*"):
+            if old != path:
+                shutil.rmtree(old, ignore_errors=True)
+    except OSError:
+        pass
+    return path

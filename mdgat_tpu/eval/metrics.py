@@ -260,10 +260,13 @@ def _batched_pose_fit(matches, kpts0, kpts1, valid, T_gt, fit_rows=None):
         U, S, Vh = np.linalg.svd(H)
     except np.linalg.LinAlgError:
         # one non-converging 3x3 must not take down the whole batch:
-        # redo row-by-row, routing the offender to the per-pair path
-        U = np.zeros_like(H)
+        # redo row-by-row, routing the offender to the per-pair path.
+        # Failed rows keep U = Vh = I (NOT zeros): R = U@Vh must stay
+        # orthogonal so the batched inv(T) below cannot hit a singular
+        # member before the redo loop replaces the row.
+        U = np.tile(np.eye(3), (H.shape[0], 1, 1))
         S = np.zeros(H.shape[:2])
-        Vh = np.zeros_like(H)
+        Vh = np.tile(np.eye(3), (H.shape[0], 1, 1))
         svd_fail = np.zeros(H.shape[0], bool)
         for i in range(H.shape[0]):
             try:

@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-from mdgat_tpu.cli import (build_parser, config_from_args,
+from mdgat_tpu.cli import (apply_ship_bf16, build_parser, config_from_args,
                            maybe_generate_synthetic, setup_jax)
 
 
@@ -57,11 +57,7 @@ def main():
         params, bn_state = model.init(jax.random.PRNGKey(cfg.seed))
 
     test_set = SparseDataset(cfg, "test")
-    if getattr(args, "ship_bf16", False):
-        import ml_dtypes
-        # halve the dominant upload; prepare upcasts to f32 on
-        # device (documented divergence, see README)
-        test_set.desc_dtype = ml_dtypes.bfloat16
+    apply_ship_bf16(test_set, args)
     prepare = prepare_batch_fn(cfg.threshold, cfg.mutual_check,
                                cfg.compute_dtype,
                                "float64" if cfg.compute_dtype == "float64"

@@ -345,6 +345,69 @@ def test_batched_pose_fit_survives_per_pair_svd_failure(monkeypatch):
     assert np.isnan(rte[1]) and np.isnan(rre[1])
 
 
+def test_batched_pose_fit_survives_batched_svd_failure(monkeypatch):
+    """np.linalg.svd raising on the BATCHED [B,3,3] call (the scenario
+    the except branch exists for) must not crash the batched inv(T):
+    failed rows keep an orthogonal R = I until the redo loop replaces
+    them via the per-pair path. Covers both redo outcomes: the per-pair
+    recompute succeeding (row recovers the true fit) and diverging too
+    (row records a failed fit). Pre-fix, U = Vh = 0 made T singular and
+    np.linalg.inv raised out of the batch before the redo loop ran."""
+    import mdgat_tpu.eval.metrics as M
+
+    rng = np.random.default_rng(12)
+    b, n = 2, 8
+    kpts0 = rng.normal(0, 5, (b, n, 3))
+    T_gt = np.stack([_rigid(rng) for _ in range(b)])
+    kpts1 = np.stack([(kpts0[i] - T_gt[i, :3, 3]) @ T_gt[i, :3, :3]
+                      for i in range(b)])
+    kpts1 += rng.normal(0, 1e-3, kpts1.shape)   # imperfect fit: f_theta < 1
+    matches = np.tile(np.arange(n), (b, 1))
+    valid = np.ones((b, n), bool)   # full-rank rows: redo only via svd_fail
+
+    T0, inl0, rte0, rre0 = M._batched_pose_fit(
+        matches, kpts0, kpts1, valid, T_gt)
+    assert np.isfinite(rte0).all() and np.isfinite(rre0).all()
+
+    real_svd = np.linalg.svd
+
+    def make_stub(fail_2d_calls):
+        calls = {"n2d": 0}
+
+        def stub(a, *args, **kwargs):
+            if np.ndim(a) == 3:     # the batched call: always diverge
+                raise np.linalg.LinAlgError("SVD did not converge")
+            calls["n2d"] += 1
+            if calls["n2d"] in fail_2d_calls:
+                raise np.linalg.LinAlgError("SVD did not converge")
+            return real_svd(a, *args, **kwargs)
+
+        return stub
+
+    # 2D call order inside _batched_pose_fit: per-row loop i=0 (#1),
+    # i=1 (#2), then pose_metrics' Kabsch for each redone row.
+
+    # A) per-row retry fails for row 1, per-pair recompute succeeds:
+    #    row 1 recovers the true fit (per-pair path ~= batched formula).
+    monkeypatch.setattr(np.linalg, "svd", make_stub({2}))
+    T, inl, rte, rre = M._batched_pose_fit(
+        matches, kpts0, kpts1, valid, T_gt)
+    np.testing.assert_allclose(T, T0, rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(inl, inl0)
+    np.testing.assert_allclose(rte, rte0, rtol=1e-6, atol=1e-9)
+
+    # B) the recompute diverges too: failed fit recorded, batch survives,
+    #    row 0 untouched.
+    monkeypatch.setattr(np.linalg, "svd", make_stub({2, 3}))
+    T, inl, rte, rre = M._batched_pose_fit(
+        matches, kpts0, kpts1, valid, T_gt)
+    np.testing.assert_allclose(T[0], T0[0], rtol=1e-6, atol=1e-9)
+    assert inl[0] == inl0[0]
+    np.testing.assert_array_equal(T[1], np.eye(4))
+    assert inl[1] == 0
+    assert np.isnan(rte[1]) and np.isnan(rre[1])
+
+
 def _ref_regmetric_loop(cases):
     """Straight port of test_registration_metric.py:230-286."""
     meters = {k: AverageMeter() for k in

@@ -94,7 +94,7 @@ def main():
         retarget += int((d & (m32 >= 0) & (m16 >= 0)).sum())
 
     print(json.dumps({
-        "pairs": len(f32) * f32[0][0].shape[0],
+        "pairs": sum(m.shape[0] for m, _ in f32),  # pipe trims pad rows
         "valid_slots": valid,
         "matched_slots_f32": matched,
         "flips": flips,
