@@ -141,6 +141,33 @@ _SWEEP_BF16 = False
 # All three are bit-compatible on kept rows up to one f32 rounding
 # reassociation (unit-tested); lse/thr residuals identical.
 _EPILOGUE = "deferred_where"
+# bf16 unnormalized-weight slab (chip A/B gate): cast e to bf16 after
+# the f32 exp (one rounding, on the result — the sweep/selection math
+# stays f32, unlike _SWEEP_BF16). The [R, M] e slab is the largest
+# epilogue temporary; bf16 halves the exp-write, denom-sum-read, and
+# PV-matmul-read bytes, and the PV dot takes the bf16 operand NATIVELY
+# (no extra cast pass — the round-3 probe_matmul_speed loss came from
+# casting f32 operands first; f32 accumulation via
+# preferred_element_type throughout). denom accumulates f32. Numerics:
+# kept-row max still exponentiates to exactly 1 (bf16-exact), so
+# denom >= 1 and the 1e-30 floor still only guards all-masked rows;
+# weights gain bf16 rounding (rel ~2^-8), same order as the bf16
+# score-noise floor the ITERS=4 agreement study measured. Fwd-only:
+# the train bwd kernels recompute p in f32 from lse (the lse shifts by
+# the bf16-rounded denom, so recomputed p is consistently normalized).
+# Applies to the deferred epilogues only (legacy_norm's in-kernel
+# e/denom divide would silently promote back to f32).
+# CLOSED 2026-08-20: COMPILES on this toolchain (unlike _SWEEP_BF16 —
+# the bf16 here is an elementwise cast + f32-acc reduce + mixed-operand
+# matmul, no bf16 compares) but measures NEUTRAL, 2-rep interleaved
+# (tools/probe_gate_ab.py _PROB_BF16 False True --train): eval
+# 5.70/5.72 ms/step OFF vs 5.74/5.67 ON; train 51.3/51.7 vs 51.4/52.9
+# — every delta inside the rep-to-rep band. Mosaic fuses the exp+sum
+# chain into the selection slab traversal either way, so the bf16
+# width only thins the PV-matmul operand read, which the MXU already
+# hides. Stays OFF: no win to buy the extra weight-rounding surface.
+# Do not re-probe without a Mosaic toolchain bump.
+_PROB_BF16 = False
 _BLOCK_B = 4  # batch elements per program (amortizes program overhead)
 # Backward blocking budget: live [N, M] f32 temporaries per head iteration
 # (s, p, dp, ds + slack) x block_b elements must fit. Swept on the real
@@ -221,7 +248,9 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool,
         # the whole forward.
         mx = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - mx)
-        denom = jnp.sum(e, axis=1, keepdims=True)
+        if _PROB_BF16 and _EPILOGUE != "legacy_norm":
+            e = e.astype(jnp.bfloat16)   # see the _PROB_BF16 gate comment
+        denom = jnp.sum(e, axis=1, keepdims=True, dtype=dt)
         thr = jnp.full((s.shape[0], 1), neg, dt)
         lse = mx + jnp.log(denom)
         if _EPILOGUE == "legacy_norm":
@@ -461,11 +490,16 @@ def _stacked_prob(s, valid, *, topk: int, exact: bool, has_mask: bool,
         # via the keep multiply (all-masked rows: s == mx == sentinel,
         # exp(0) * 0 == 0).
         e = jnp.exp(s - mx) * keep.astype(dt)
+    if _PROB_BF16 and _EPILOGUE != "legacy_norm":
+        # one rounding on the f32 exp result; denom accumulates f32 (see
+        # the gate comment — the kept-row max is bf16-exactly 1, so the
+        # denom >= 1 / floor-only-guards-all-masked invariants hold)
+        e = e.astype(jnp.bfloat16)
     # any row with a kept entry has denom >= 1 (its max exponentiates to
     # exactly 1), so the floor only guards ALL-masked rows — and it must
     # be a NORMAL f32 (1e-38 is subnormal: TPU flush-to-zero turns it
     # into 0, making inv = inf and the zero attention output 0*inf = NaN)
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True, dtype=dt),
                         jnp.asarray(1e-30, dt))
     lse = mx + jnp.log(denom)
     if _EPILOGUE == "legacy_norm":

@@ -909,6 +909,60 @@ def test_sweep_bf16_gate(monkeypatch):
         assert ((sb[r] >= kth) & valid[r] <= kept).all(), r
 
 
+def test_prob_bf16_gate(monkeypatch):
+    """``_PROB_BF16``: bf16 unnormalized-weight slab (chip A/B gate).
+    Selection is untouched (identical thr and kept set vs the f32
+    epilogue); probabilities differ only by bf16 rounding of the exp
+    result; kept rows stay exactly normalized (inv is 1/f32-sum of the
+    SAME bf16 terms); all-masked rows zero; lse shifts only by the
+    bf16-rounded denom — fast, exact, dense-masked, and dense-unmasked
+    branches."""
+    import mdgat_tpu.ops.pallas.attention as A
+
+    rng = np.random.default_rng(53)
+    s = np.asarray(rng.normal(size=(64, 96)) * 3, np.float32)
+    valid = rng.uniform(size=s.shape) > 0.2
+    valid[5, :] = False
+    sm = np.where(valid, s, A.BIG_NEG).astype(np.float32)
+    sj, vj = jnp.asarray(sm), jnp.asarray(valid)
+    branches = {
+        "fast": dict(topk=8, exact=False, has_mask=True),
+        "exact": dict(topk=8, exact=True, has_mask=True),
+        "dense": dict(topk=0, exact=False, has_mask=True),
+        "dense_nomask": dict(topk=0, exact=False, has_mask=False),
+    }
+
+    def run(br):
+        kw = dict(branches[br])
+        v = vj if kw.pop("has_mask") else None
+        return A._stacked_prob(sj if v is not None else jnp.asarray(s),
+                               v, has_mask=v is not None, **kw)
+
+    base = {br: run(br) for br in branches}
+    monkeypatch.setattr(A, "_PROB_BF16", True)
+    for br in branches:
+        e, inv, thr, lse = run(br)
+        assert e.dtype == jnp.bfloat16, br
+        e0, i0, t0, l0 = (np.asarray(x, np.float32) for x in base[br])
+        p0 = e0 * i0
+        p1 = np.asarray(e, np.float32) * np.asarray(inv)
+        assert np.isfinite(p1).all(), br
+        if br != "dense_nomask":
+            assert (p1[5] == 0).all(), br
+            np.testing.assert_array_equal(p1 > 0, p0 > 0, err_msg=br)
+        # selection math is gate-independent
+        np.testing.assert_array_equal(np.asarray(thr, np.float32), t0,
+                                      err_msg=br)
+        # weights: one bf16 rounding of the f32 exp (rel ~2^-8)
+        np.testing.assert_allclose(p1, p0, atol=6e-3, err_msg=br)
+        rows = (np.delete(np.arange(64), 5)
+                if br != "dense_nomask" else np.arange(64))
+        np.testing.assert_allclose(p1[rows].sum(1), 1.0, rtol=2e-5,
+                                   err_msg=br)
+        np.testing.assert_allclose(np.asarray(lse, np.float32), l0,
+                                   atol=5e-3, err_msg=br)
+
+
 def test_pallas_sinkhorn_decision_aux_parity(monkeypatch):
     """The kernel-epilogue decision reductions (decision_aux=True) must
     (a) equal jnp max/argmax of the emitted dense block and (b) drive
