@@ -93,15 +93,33 @@ def machine_keyed_cache_dir(base: str = None) -> str:
                    (sig_lines or [_platform.processor()]))
     tag = hashlib.sha256(sig.encode()).hexdigest()[:10]
     path = f"{base}/.jax_cache_cpu_{tag}"
-    # Prune sibling dirs from earlier boots: the boot_id in the key makes
-    # them unreachable by construction, so they are pure disk leakage
-    # (one full CPU-AOT cache per boot otherwise).
-    try:
-        import glob
-        import shutil
-        for old in glob.glob(f"{base}/.jax_cache_cpu_*"):
-            if old != path:
-                shutil.rmtree(old, ignore_errors=True)
-    except OSError:
-        pass
+    # Prune sibling dirs from earlier boots — they are pure disk leakage
+    # (one full CPU-AOT cache per boot otherwise). Two guards make the
+    # prune provably safe rather than "delete every sibling":
+    #   (a) only when OUR key includes a real boot_id — if we could not
+    #       read it, a same-boot sibling with a different tag may simply
+    #       be the process that could, and we cannot tell it from stale;
+    #   (b) only siblings last WRITTEN before this boot (mtime < boot
+    #       time). A live same-boot cache under a different tag (e.g. a
+    #       sandboxed process whose masked /proc yields a boot_id-less
+    #       tag) keeps a fresh top-level mtime as the flat cache files
+    #       land in it; deleting an in-use cache mid-run would discard
+    #       ~10 min of CPU-AOT compiles — the exact waste this keying
+    #       exists to prevent, just on the other process.
+    if boot_id:
+        try:
+            import glob
+            import shutil
+            import time
+            with open("/proc/uptime") as f:
+                boot_time = time.time() - float(f.read().split()[0])
+            for old in glob.glob(f"{base}/.jax_cache_cpu_*"):
+                try:
+                    stale = os.path.getmtime(old) < boot_time
+                except OSError:
+                    continue  # vanished concurrently
+                if old != path and stale:
+                    shutil.rmtree(old, ignore_errors=True)
+        except (OSError, ValueError):
+            pass
     return path

@@ -66,16 +66,28 @@ _BISECT_ITERS_FAST = 4
 # notch more resolution than bf16's 4, by the same measured-floor rule.
 # Do not lower without re-running the f32 study.
 _BISECT_ITERS_F32 = 5
+# Any OTHER input dtype (float64 parity paths, float16) has had NO
+# agreement study — the measured-floor rule cannot transfer (f64's
+# reassociation noise is ~2^-52 rel, orders of magnitude below the
+# range/2^5 slack, so ITERS=5 would NOT hide under it), and these paths
+# are parity surfaces, not perf surfaces. They keep the original
+# full-resolution traversal.
+_BISECT_ITERS_PARITY = 14
 
 
 def _fast_iters(io_dtype) -> int:
     """Fast-path bisection resolution for a kernel whose score inputs
     (q/k or x/source, BEFORE the in-kernel f32 upcast) have
-    ``io_dtype``. Reads the module globals at trace time so the A/B
-    probes' monkeypatching keeps working."""
-    if np.dtype(io_dtype) == np.dtype(jnp.bfloat16):
+    ``io_dtype``. Only bf16 and f32 have measured agreement floors
+    (sweeps above); every other dtype gets the parity-grade resolution.
+    Reads the module globals at trace time so the A/B probes'
+    monkeypatching keeps working."""
+    d = np.dtype(io_dtype)
+    if d == np.dtype(jnp.bfloat16):
         return _BISECT_ITERS_FAST
-    return max(_BISECT_ITERS_FAST, _BISECT_ITERS_F32)
+    if d == np.dtype(np.float32):
+        return max(_BISECT_ITERS_FAST, _BISECT_ITERS_F32)
+    return max(_BISECT_ITERS_FAST, _BISECT_ITERS_F32, _BISECT_ITERS_PARITY)
 # k-ary selection (pack several midpoint counts into one int32 traversal —
 # see the selection branches in _stacked_prob). Module-level gate so a
 # real-chip A/B (or a Mosaic toolchain regression on the packed int32

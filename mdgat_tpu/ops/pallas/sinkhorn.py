@@ -217,9 +217,16 @@ def _fwd_from_prep(prepped, iters: int,
     dt = dense.dtype
 
     # elements per program: ~4 live [n, m]-sized f32 buffers (Z, out, two
-    # iteration temporaries) per element
+    # iteration temporaries) per element. The decision_aux epilogue holds
+    # ~3 more full slabs at once (a broadcasted int32 iota plus the
+    # eq/where intermediates, per axis) while `out` is still live, so its
+    # blocks must be sized against ~7 — otherwise re-enabling the
+    # _DECISION_AUX gate at a large config (e.g. the N=1024 stretch,
+    # where eb=1 already carries ~17 MB) would overflow the very budget
+    # this heuristic exists to respect.
+    slabs = 7 if decision_aux else 4
     eb = 8
-    while eb > 1 and 4 * eb * n * m * jnp.dtype(dt).itemsize > 10 * 2 ** 20:
+    while eb > 1 and slabs * eb * n * m * jnp.dtype(dt).itemsize > 10 * 2 ** 20:
         eb //= 2
     while b % eb != 0:
         eb //= 2
