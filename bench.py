@@ -63,6 +63,41 @@ def wait_for_relay():
         time.sleep(min(30.0, remaining))
 
 
+def measure_rtt(n=5):
+    """Median tunnel round-trip of a trivial jitted readback — the
+    constant subtracted from every timing window below."""
+    import jax
+    tiny = jax.jit(lambda v: v + 1)
+    x = tiny(jax.numpy.ones(()))
+    _ = np.asarray(x)
+    rtts = []
+    for _ in range(n):
+        t0 = time.time()
+        _ = np.asarray(tiny(x))
+        rtts.append(time.time() - t0)
+    return sorted(rtts)[n // 2]
+
+
+def time_window(step, readback, k, rtt, reps=1):
+    """Seconds per ``step()`` call: enqueue ``k`` calls, one final
+    ``readback(last)`` device->host sync, subtract one tunnel RTT;
+    best-of-``reps`` windows. This is the ONE timing methodology for
+    every metric below — axon makes ``block_until_ready`` a no-op, so
+    per-call timing through a ~30 ms-RTT tunnel is meaningless (the
+    r03/r04 Sinkhorn artifact swung 2x on an unchanged kernel until the
+    window was widened past the RTT jitter). Size ``k`` so the device
+    window dwarfs the RTT; ``step`` may close over state (train steps)."""
+    best = float("inf")
+    for _ in range(reps):
+        out = None
+        t0 = time.time()
+        for _ in range(k):
+            out = step()
+        readback(out)
+        best = min(best, time.time() - t0 - rtt)
+    return best / k
+
+
 def bench_tpu():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/.jax_bench_cache")
@@ -82,25 +117,12 @@ def bench_tpu():
     _ = np.asarray(out[2].astype("float32"))  # warm: compile+execute+read
     log(f"tpu: compiled; device={jax.devices()[0]}")
 
-    # measure RTT with trivial readbacks (median of several)
-    tiny = jax.jit(lambda v: v + 1)
-    x = tiny(jax.numpy.ones(()))
-    _ = np.asarray(x)
-    rtts = []
-    for _ in range(5):
-        t0 = time.time()
-        _ = np.asarray(tiny(x))
-        rtts.append(time.time() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
+    rtt = measure_rtt()
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(K_STEPS):
-            out = jfn(params, state, data)
-        _ = np.asarray(out[2].astype("float32"))
-        best = min(best, time.time() - t0 - rtt)
-    per_step = best / K_STEPS
+    per_step = time_window(
+        lambda: jfn(params, state, data),
+        lambda out: np.asarray(out[2].astype("float32")),
+        K_STEPS, rtt, reps=3)
     pairs_per_sec = BATCH / per_step
     log(f"tpu: {per_step * 1e3:.2f} ms/step (rtt {rtt * 1e3:.1f} ms) "
         f"-> {pairs_per_sec:.0f} pairs/s")
@@ -118,15 +140,9 @@ def bench_tpu():
         jnp.float32)
     ot_fn = jax.jit(lambda s: pallas_log_optimal_transport(s, 1.0, 20))
     _ = np.asarray(ot_fn(scores).corner)
-    k_ot = 256
-    best_ot = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(k_ot):
-            ot = ot_fn(scores)
-        _ = np.asarray(ot.corner)
-        best_ot = min(best_ot, time.time() - t0 - rtt)
-    per_ot = best_ot / k_ot
+    per_ot = time_window(lambda: ot_fn(scores),
+                         lambda ot: np.asarray(ot.corner),
+                         256, rtt, reps=3)
     log(f"sinkhorn: {per_ot * 1e3:.2f} ms / 20 iters x {BATCH} pairs -> "
         f"{20 * BATCH / per_ot:.0f} pair-iters/s")
 
@@ -146,18 +162,25 @@ def bench_tpu():
     # custom VJPs (backward rebuilds probabilities as exp(s - lse)
     # instead of re-running the mask/max/exp/sum/divide sweeps) -> 57.6
     from mdgat_tpu.train import create_train_state, make_train_step
-    tmodel, _, _, tdata = g._flagship(
-        compute_dtype="bfloat16", param_dtype="float32",
-        n=512, batch=64, remat_gnn=True, scan_gnn_pairs=False)
-    ts, tx = create_train_state(tmodel, jax.random.PRNGKey(0), 1e-4)
-    tstep = make_train_step(tmodel, tx, donate=False)
-    ts, mtr = tstep(ts, tdata)
-    _ = np.asarray(mtr["loss"])
-    t0 = time.time()
-    for _ in range(5):
-        ts, mtr = tstep(ts, tdata)
-    _ = np.asarray(mtr["loss"])
-    per_train = (time.time() - t0 - rtt) / 5
+
+    def train_window(n, batch, k=5):
+        """Warm + time the full training step at (n, batch)."""
+        m, _, _, d = g._flagship(
+            compute_dtype="bfloat16", param_dtype="float32",
+            n=n, batch=batch, remat_gnn=True, scan_gnn_pairs=False)
+        ts, tx = create_train_state(m, jax.random.PRNGKey(0), 1e-4)
+        tstep = make_train_step(m, tx, donate=False)
+        box = {"ts": ts}
+
+        def step():
+            box["ts"], mtr = tstep(box["ts"], d)
+            return mtr
+
+        _ = np.asarray(step()["loss"])  # warm: compile+execute+read
+        return time_window(step, lambda mtr: np.asarray(mtr["loss"]),
+                           k, rtt)
+
+    per_train = train_window(n=512, batch=64)
     log(f"train: {per_train * 1e3:.1f} ms/step @ reference config "
         f"(batch 64, N 512) -> {64 / per_train:.0f} pairs/s")
 
